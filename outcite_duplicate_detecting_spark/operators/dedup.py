@@ -1,0 +1,120 @@
+"""Exact and exact-Jaccard deduplication.
+
+- ``exact_duplicates``: hash-groupBy on the content digest. Reference
+  analogue: SHA-1 repIDs + ON-CONFLICT frequency upsert
+  (/root/reference/code/blocking/code/make_representations_v3.py:47-49,76).
+  Spark's partial/final hash aggregation does the two-phase merge natively;
+  no shuffle beyond the one groupBy.
+- ``collapse_exact``: the scale-critical pre-pass — collapse byte-identical
+  texts to one representative before any pairwise detector runs (SURVEY.md
+  §4 "frequency pre-aggregation"). On web data exact dups dominate, so this
+  turns the hottest LSH bands into single rows.
+- ``jaccard_pairs``: exact shingle-Jaccard pair join via the exploded
+  inverted index — the relational form of the reference's CSR dot products
+  (/root/reference/code/common.py:265-312): explode distinct shingles,
+  self-join on shingle, groupBy(pair).count() = intersection size, then
+  the Jaccard identity |A∩B| / (|A|+|B|−|A∩B|). Used as the brute-force
+  oracle for MinHash and as a first-class operator for small-N exact mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per text occurring more than once: digest, freq, member ids,
+    canonical (minimum) id."""
+    digest = F.sha2(F.col(text_col), 256).alias("text_sha")
+    return (
+        df.select(digest, F.col(id_col))
+        .groupBy("text_sha")
+        .agg(
+            F.count("*").alias("freq"),
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .where(F.col("freq") > 1)
+    )
+
+
+def collapse_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(representatives, membership).
+
+    representatives: one row per distinct text — (rep_id, text, freq) where
+    rep_id is the minimum member id. membership: (id, rep_id) for every row.
+    Detectors run on representatives only; results expand back via membership.
+    """
+    digest = F.sha2(F.col(text_col), 256).alias("text_sha")
+    keyed = df.select(F.col(id_col).alias("id"), digest, F.col(text_col))
+    reps = (
+        keyed.groupBy("text_sha")
+        .agg(
+            F.min("id").alias("rep_id"),
+            F.first(text_col).alias(text_col),
+            F.count("*").alias("freq"),
+        )
+        .select("rep_id", text_col, "freq", "text_sha")
+    )
+    membership = keyed.join(
+        reps.select("text_sha", "rep_id"), "text_sha"
+    ).select("id", "rep_id")
+    return reps, membership
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    return df.withColumn(out_col, word_shingles(text_col, n))
+
+
+def jaccard_condition(inter: Column, s1: Column, s2: Column, threshold: float) -> Column:
+    """inter/(s1+s2-inter) >= threshold, in exact integer arithmetic.
+
+    threshold is interpreted as a ratio num/den with den = 10^6 to avoid
+    float comparison drift between engines.
+    """
+    num = int(round(threshold * 10**6))
+    return inter * 10**6 >= (s1 + s2 - inter) * num
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id1, id2, inter_size, union_size) for all pairs with exact
+    word-n-shingle Jaccard ≥ threshold; id1 < id2."""
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+    sized = sh.select("id", "sh", F.size("sh").alias("sz"))
+    ex = sized.select("id", "sz", F.explode("sh").alias("shingle"))
+    a = ex.select(
+        F.col("shingle"), F.col("id").alias("id1"), F.col("sz").alias("sz1")
+    )
+    b = ex.select(
+        F.col("shingle"), F.col("id").alias("id2"), F.col("sz").alias("sz2")
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2", "sz1", "sz2")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    return (
+        inter.where(
+            jaccard_condition(F.col("inter_size"), F.col("sz1"), F.col("sz2"), threshold)
+        )
+        .select(
+            "id1",
+            "id2",
+            F.col("inter_size").cast("long").alias("inter_size"),
+            (F.col("sz1") + F.col("sz2") - F.col("inter_size")).cast("long").alias("union_size"),
+        )
+    )

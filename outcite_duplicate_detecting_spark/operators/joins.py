@@ -1,0 +1,103 @@
+"""Candidate-pair generation joins with explicit skew handling.
+
+The LSH band equi-join (SURVEY.md §2.3; reference analogue: the lexsort
+adjacency scan in /root/reference/code/blocking/code/
+simhash_components_disk_v3.py:258-275) is a self-join of a postings
+DataFrame ``(id, key...)`` on ``key``. Hot keys (a band shared by an
+exact-dup cluster, a ubiquitous fingerprint) make the naive self-join
+quadratic in the bucket size, so two explicit controls are provided —
+the reference's analogue is its hard 25000-doc group guard
+(/root/reference/code/common.py:96):
+
+- ``max_bucket_size``: buckets above the cap are excluded from pair
+  generation and *accounted for* in a drops DataFrame (north_rule:
+  documented drop counters, never silent truncation).
+- ``salted_all_pairs``: an exact triangle-cell decomposition that splits a
+  hot key's all-pairs work across ``salt``² join cells so no single task
+  owns a whole hot bucket. Each unordered pair is produced exactly once.
+
+Both paths produce ordered pairs (id1 < id2), distinct.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PairGenResult:
+    pairs: DataFrame  # (id1, id2) distinct, id1 < id2
+    drops: DataFrame  # (key..., bucket_size) buckets excluded by the cap
+
+
+def band_candidate_pairs(
+    postings: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    max_bucket_size: int | None = None,
+    salt: int | None = None,
+) -> PairGenResult:
+    """All distinct ordered id pairs co-occurring under any key.
+
+    ``postings`` rows: (id, key...). Multiple keys per id are expected
+    (bands, fingerprints); the output is distinct across keys.
+    """
+    keyed = postings.select(id_col, *key_cols)
+
+    if max_bucket_size is not None:
+        sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
+        # the cap only ever matches a handful of hot buckets → broadcastable
+        drops = sizes.filter(F.col("bucket_size") > max_bucket_size)
+        keyed = keyed.join(
+            F.broadcast(drops.select(*key_cols)), on=key_cols, how="left_anti"
+        )
+    else:
+        drops = (
+            keyed.select(*key_cols).limit(0).withColumn("bucket_size", F.lit(0).cast("long"))
+        )
+
+    if salt and salt > 1:
+        # salted pairs are unique but ordered by cell, not id — normalize
+        pairs = salted_all_pairs(keyed, key_cols, id_col, salt).select(
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
+        )
+    else:
+        a = keyed.select(*key_cols, F.col(id_col).alias("id1"))
+        b = keyed.select(*key_cols, F.col(id_col).alias("id2"))
+        pairs = a.join(b, on=key_cols).where(F.col("id1") < F.col("id2"))
+    return PairGenResult(pairs.select("id1", "id2").distinct(), drops)
+
+
+def salted_all_pairs(
+    keyed: DataFrame, key_cols: list[str], id_col: str, salt: int
+) -> DataFrame:
+    """Exact all-pairs within each key bucket via triangle-cell salting.
+
+    Assign each row a cell c = hash(id) mod salt. For the unordered cell
+    pair (i ≤ j): the left relation replicates each row with c = i to every
+    j ≥ i, the right relation keeps rows at their own cell, and the join key
+    is (key, j). A pair (a at cell ca ≤ cb of b) is then produced exactly
+    once — at join cell cb — and the tie ca == cb is broken by id order.
+    The effect: a bucket of n rows is processed as salt² cells of ~n/salt
+    rows instead of one quadratic task.
+    """
+    c = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
+    base = keyed.withColumn("_cell", c)
+    left = base.select(
+        *key_cols,
+        F.col(id_col).alias("id1"),
+        F.col("_cell").alias("_c1"),
+        F.explode(F.sequence(F.col("_cell"), F.lit(salt - 1))).alias("_j"),
+    )
+    right = base.select(
+        *key_cols, F.col(id_col).alias("id2"), F.col("_cell").alias("_j"),
+    ).withColumn("_c2", F.col("_j"))
+    joined = left.join(right, on=[*key_cols, "_j"])
+    keep = (F.col("_c1") < F.col("_c2")) | (
+        (F.col("_c1") == F.col("_c2")) & (F.col("id1") < F.col("id2"))
+    )
+    return joined.where(keep).select(*key_cols, "id1", "id2")

@@ -1,0 +1,150 @@
+"""MinHash + LSH band join near-duplicate detector (Jaccard regime).
+
+Generalizes the reference's blocking stage (candidate generation without
+all-pairs comparison — /root/reference/code/blocking/) to web text, per
+BASELINE.json north_rule. Dataflow, scale-first:
+
+1. shingle JVM-side (``word_shingles`` — pure Catalyst expression),
+2. hash each shingle JVM-side with ``xxhash64`` (whole-stage codegen),
+3. one Arrow-batched pandas UDF turns each doc's shingle-hash array into a
+   ``num_perm``-long MinHash signature — a single numpy broadcast per doc,
+   **zero shuffle** up to this point,
+4. band keys derived JVM-side from the signature array, exploded to a
+   postings table (id, band_idx, band_key),
+5. candidate pairs via the (salt-able, cap-able) band self-join
+   (operators/joins.py),
+6. verification joins the candidates back to the shingle arrays and keeps
+   pairs whose **exact** Jaccard clears the threshold (array_intersect in
+   the JVM) — so LSH only affects recall, never precision, and the final
+   output is a deterministic function of the corpus.
+
+Config mirrors the reference knobs: shingle size n (reference n=3 char-grams,
+/root/reference/code/configs.json:66), threshold (jaccard 0.1..0.25 in the
+reference stage configs, code/2_update_clusterIDs.py:89-107 — web near-dup
+default here 0.8), num_perm=128, bands=32 (r=4 rows/band).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import minhash_params, minhash_signature_batch, to_i64
+from ..functions.text import word_shingles
+from .joins import PairGenResult, band_candidate_pairs
+
+
+@dataclass
+class MinHashConfig:
+    shingle_n: int = 3
+    num_perm: int = 128
+    bands: int = 32  # rows per band = num_perm // bands
+    threshold: float = 0.8
+    seed: int = 42
+    max_bucket_size: int | None = 25000  # reference group guard, common.py:96
+    salt: int | None = None
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.num_perm % self.bands == 0
+        return self.num_perm // self.bands
+
+
+def add_signature(
+    df: DataFrame, cfg: MinHashConfig, text_col: str = "text", out_col: str = "minhash_sig"
+) -> DataFrame:
+    """Append shingle set + MinHash signature (array<long>, bit-cast uint64)."""
+    a, b = minhash_params(cfg.num_perm, cfg.seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        arrays = [
+            np.asarray(h, dtype=np.int64).view(np.uint64) if len(h) else np.empty(0, np.uint64)
+            for h in hashes
+        ]
+        sigs = minhash_signature_batch(arrays, a, b)
+        return pd.Series([to_i64(s).tolist() for s in sigs])
+
+    sh = word_shingles(text_col, cfg.shingle_n)
+    return (
+        df.withColumn("shingles", sh)
+        .withColumn("_shingle_hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
+        .withColumn(out_col, sig_udf("_shingle_hashes"))
+        .drop("_shingle_hashes")
+    )
+
+
+def band_postings(
+    df: DataFrame, cfg: MinHashConfig, id_col: str = "id", sig_col: str = "minhash_sig"
+) -> DataFrame:
+    """Explode signatures to (id, band_idx, band_key). band_key hashes the
+    band's r signature values together JVM-side."""
+    r = cfg.rows_per_band
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda bi: F.struct(
+            bi.cast("int").alias("band_idx"),
+            F.xxhash64(
+                F.concat_ws("_", F.transform(F.slice(sig_col, bi * r + 1, r), lambda v: v.cast("string")))
+            ).alias("band_key"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(bands).alias("b")
+    ).select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, cfg: MinHashConfig, id_col: str = "id", sig_col: str = "minhash_sig"
+) -> PairGenResult:
+    postings = band_postings(df, cfg, id_col=id_col, sig_col=sig_col)
+    return band_candidate_pairs(
+        postings,
+        key_cols=["band_idx", "band_key"],
+        id_col="id",
+        max_bucket_size=cfg.max_bucket_size,
+        salt=cfg.salt,
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, shingled: DataFrame, cfg: MinHashConfig, id_col: str = "id"
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs.
+
+    shingled: (id, shingles). Output: (id1, id2, inter_size, union_size)
+    with Jaccard ≥ cfg.threshold, integer-exact comparison.
+    """
+    s1 = shingled.select(F.col(id_col).alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col(id_col).alias("id2"), F.col("shingles").alias("sh2"))
+    joined = pairs.join(s1, "id1").join(s2, "id2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    sz1, sz2 = F.size("sh1"), F.size("sh2")
+    num = int(round(cfg.threshold * 10**6))
+    return joined.select(
+        "id1",
+        "id2",
+        inter.cast("long").alias("inter_size"),
+        (sz1 + sz2 - inter).cast("long").alias("union_size"),
+    ).where(F.col("inter_size") * 10**6 >= F.col("union_size") * num)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, cfg: MinHashConfig | None = None, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end: (verified_pairs, dropped_buckets).
+
+    verified_pairs: (id1, id2, inter_size, union_size), id1 < id2, exact
+    Jaccard ≥ threshold among LSH candidates.
+    """
+    cfg = cfg or MinHashConfig()
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    signed = add_signature(base, cfg, text_col="text")
+    cands = minhash_candidate_pairs(signed, cfg, id_col="id")
+    verified = verify_jaccard(cands.pairs, signed.select("id", "shingles"), cfg)
+    return verified, cands.drops

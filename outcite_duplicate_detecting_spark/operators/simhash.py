@@ -1,0 +1,157 @@
+"""64-bit SimHash detector with pigeonhole byte-block candidates.
+
+Algorithmic parity with the reference's simhash pass
+(/root/reference/code/blocking/code/simhash_components_disk_v3.py):
+
+- per-feature FNV-1a 64 hashes (:159-177) → bit-majority fold into one
+  64-bit signature (feats2docint, :182-187),
+- candidate generation: with the signature split into 8 byte-blocks and
+  Hamming radius k=7, any pair within radius must agree on ≥1 whole block
+  (pigeonhole; the reference realizes this as 8 lexsort orderings,
+  :258-275 — here it is a plain equi-join on (block_idx, block_value)),
+- verification: popcount(sig1 XOR sig2) ≤ k (dif, :179-180) — in Spark a
+  built-in: bit_count(xor) (SURVEY.md §2.3).
+
+The fold runs as one Arrow-batched pandas UDF; within a batch ALL grams of
+all docs are hashed through one padded byte-matrix FNV pass and the bit
+counts reduce per-doc via np.add.reduceat — no per-gram Python loop.
+
+Scale note (10^12 docs): 8-bit block keys collide at rate 1/256, so the
+naive candidate join is quadratic at web scale. Controls, in order:
+(1) collapse exact dups first (operators/dedup.collapse_exact),
+(2) ``max_bucket_size`` cap with drop counters (reference guard analogue,
+    /root/reference/code/common.py:96),
+(3) the ``bits_per_band=16`` configuration (4 blocks, exact for k ≤ 3) whose
+    keys collide at 1/65536 — the recommended web-scale setting,
+(4) triangle-cell salting of hot blocks (operators/joins.salted_all_pairs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import fnv1a64_strings
+from ..functions.text import char_ngrams
+from .joins import PairGenResult, band_candidate_pairs
+
+
+@dataclass
+class SimHashConfig:
+    gram_n: int = 4
+    hamming_k: int = 7
+    bits_per_band: int = 8  # 8 → 8 blocks (exact for k ≤ 7); 16 → 4 blocks (k ≤ 3)
+    max_bucket_size: int | None = 25000
+    salt: int | None = None
+
+    @property
+    def bands(self) -> int:
+        return 64 // self.bits_per_band
+
+    def exactness_holds(self) -> bool:
+        """Pigeonhole guarantee: k < bands ⇒ some block is untouched."""
+        return self.hamming_k < self.bands
+
+
+def simhash_fold_udf():
+    """pandas UDF: array<string> grams → long simhash signature (bit-cast).
+
+    Batch-vectorized: one FNV matrix pass over every gram in the Arrow
+    batch, one unpackbits, per-doc bit sums via np.add.reduceat.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def fold(grams: pd.Series) -> pd.Series:
+        lists = [list(g) if g is not None else [] for g in grams]
+        counts = np.fromiter((len(g) for g in lists), dtype=np.int64, count=len(lists))
+        flat: list[str] = [s for g in lists for s in g]
+        if not flat:
+            return pd.Series(np.zeros(len(lists), dtype=np.int64))
+        hashes = fnv1a64_strings(flat)
+        bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        offsets = np.zeros(len(lists), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        # empty docs: reduceat needs strictly valid indices; clamp + zero later
+        safe_offsets = np.minimum(offsets, max(len(flat) - 1, 0))
+        sums = np.add.reduceat(bits, safe_offsets, axis=0)
+        maj = (sums * 2 > counts[:, None]).astype(np.uint8)
+        maj[counts == 0] = 0
+        packed = np.packbits(maj, axis=1, bitorder="little").view(np.uint64).reshape(-1)
+        return pd.Series(packed.view(np.int64))
+
+    return fold
+
+
+def add_simhash(
+    df: DataFrame, cfg: SimHashConfig, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    grams = char_ngrams(text_col, cfg.gram_n)
+    return df.withColumn(out_col, simhash_fold_udf()(grams))
+
+
+def block_postings(
+    df: DataFrame, cfg: SimHashConfig, id_col: str = "id", sig_col: str = "simhash"
+) -> DataFrame:
+    """(id, band_idx, band_key): band_key = the band's bits of the signature.
+
+    Pure JVM bit ops: shiftrightunsigned + mask — no UDF."""
+    w = cfg.bits_per_band
+    mask = (1 << w) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).cast("int").alias("band_idx"),
+                F.shiftrightunsigned(F.col(sig_col), bi * w)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for bi in range(cfg.bands)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(bands).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def hamming(col1, col2):
+    return F.bit_count(col1.bitwiseXOR(col2))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    cfg: SimHashConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(verified_pairs, dropped_buckets).
+
+    verified_pairs: (id1, id2, hamming_dist), id1 < id2, Hamming ≤ k over
+    the 64-bit signatures. With the default 8×8 block config this is the
+    EXACT set of ≤k pairs (pigeonhole) up to bucket-cap drops.
+    """
+    cfg = cfg or SimHashConfig()
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    signed = add_simhash(base, cfg, text_col="text").select("id", "simhash")
+    postings = block_postings(signed, cfg, id_col="id")
+    cands = band_candidate_pairs(
+        postings,
+        key_cols=["band_idx", "band_key"],
+        id_col="id",
+        max_bucket_size=cfg.max_bucket_size,
+        salt=cfg.salt,
+    )
+    s1 = signed.select(F.col("id").alias("id1"), F.col("simhash").alias("sig1"))
+    s2 = signed.select(F.col("id").alias("id2"), F.col("simhash").alias("sig2"))
+    verified = (
+        cands.pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("hamming_dist", hamming(F.col("sig1"), F.col("sig2")).cast("int"))
+        .where(F.col("hamming_dist") <= cfg.hamming_k)
+        .select("id1", "id2", "hamming_dist")
+    )
+    return verified, cands.drops

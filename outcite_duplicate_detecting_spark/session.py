@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the dedup workload.
+
+Local-mode settings follow the public Spark tuning guidance: shuffle
+partitions ≈ cores (not 200), AQE on for runtime coalescing + skew-join
+handling, Arrow on for pandas-UDF transfer, UTC session timezone so
+results compare cleanly against the DuckDB oracle.
+
+On a real cluster the same builder is used via ``spark-submit --py-files``;
+only ``master`` / memory flags change. Iceberg catalog support is gated
+behind an import/config try so the module works without the runtime jar
+(the sandbox has none) — see ``sources/catalog.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | str | None = None,
+    app_name: str = "outcite_duplicate_detecting_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores``: int for ``local[N]``, "*" for all, None → $SPARK_GRAFT_CPUS
+    or all cores. ``shuffle_partitions`` defaults to the core count — at
+    cluster scale this is instead sized from input bytes (see
+    plans/pipeline.py docstring).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    n_cores = os.cpu_count() or 8 if cores == "*" else int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n_cores, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

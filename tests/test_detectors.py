@@ -1,0 +1,177 @@
+"""Detector correctness vs brute-force all-pairs oracles on a planted corpus."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from outcite_duplicate_detecting_spark.functions.hashing import fnv1a64_strings, simhash64
+from outcite_duplicate_detecting_spark.operators.dedup import (
+    collapse_exact,
+    exact_duplicates,
+    jaccard_pairs,
+)
+from outcite_duplicate_detecting_spark.operators.joins import band_candidate_pairs, salted_all_pairs
+from outcite_duplicate_detecting_spark.operators.minhash import MinHashConfig, minhash_lsh_pairs
+from outcite_duplicate_detecting_spark.operators.simhash import SimHashConfig, simhash_pairs
+from outcite_duplicate_detecting_spark.operators.substring import SubstringConfig, substring_pairs
+from outcite_duplicate_detecting_spark.sources.pages import CorpusSpec, generate_pages_pdf
+
+SPEC = CorpusSpec(
+    n_singletons=60,
+    n_exact_clusters=8,
+    n_near_clusters=8,
+    n_fuzzy_clusters=8,
+    n_substring_clusters=8,
+    n_hard_negative_pairs=8,
+    seed=7,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = generate_pages_pdf(SPEC)
+    pdf = pdf.reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    df = spark.createDataFrame(pdf[["doc_id", "text", "gold_cluster_id", "dup_kind"]])
+    return pdf, df.cache()
+
+
+def py_shingles(t, n=3):
+    w = [x for x in t.lower().split() if x]
+    return set(" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1)))
+
+
+def brute_jaccard_pairs(pdf, n=3, threshold=0.8):
+    sh = {r.doc_id: py_shingles(r.text, n) for r in pdf.itertuples()}
+    ids = sorted(sh)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            union = len(sh[a]) + len(sh[b]) - inter
+            if inter * 10**6 >= union * int(round(threshold * 10**6)):
+                out.add((a, b))
+    return out
+
+
+def test_exact_duplicates(spark, corpus):
+    pdf, df = corpus
+    got = exact_duplicates(df).collect()
+    from collections import Counter
+
+    counts = Counter(pdf["text"])
+    want_texts = {t for t, c in counts.items() if c > 1}
+    assert len(got) == len(want_texts)
+    for r in got:
+        ids = sorted(pdf.index[pdf["text"] == pdf["text"][r["member_ids"][0]]].tolist())
+        assert r["member_ids"] == ids
+        assert r["canonical_id"] == ids[0]
+
+
+def test_collapse_exact_roundtrip(spark, corpus):
+    pdf, df = corpus
+    reps, membership = collapse_exact(df)
+    assert reps.count() == pdf["text"].nunique()
+    assert membership.count() == len(pdf)
+    # every member maps to a rep with identical text
+    joined = (
+        membership.join(df.select(F.col("doc_id").alias("id"), F.col("text").alias("t_member")), "id")
+        .join(reps.select(F.col("rep_id"), F.col("text").alias("t_rep")), "rep_id")
+    )
+    assert joined.where(F.col("t_member") != F.col("t_rep")).count() == 0
+
+
+def test_jaccard_pairs_exact_oracle(spark, corpus):
+    pdf, df = corpus
+    want = brute_jaccard_pairs(pdf, n=3, threshold=0.8)
+    got = {(r["id1"], r["id2"]) for r in jaccard_pairs(df, threshold=0.8).collect()}
+    assert got == want
+
+
+def test_minhash_lsh_recall_and_precision(spark, corpus):
+    pdf, df = corpus
+    want = brute_jaccard_pairs(pdf, n=3, threshold=0.8)
+    cfg = MinHashConfig(threshold=0.8)
+    verified, drops = minhash_lsh_pairs(df, cfg)
+    got = {(r["id1"], r["id2"]) for r in verified.collect()}
+    assert drops.count() == 0
+    # precision is exact by construction (verify step)
+    assert got <= want
+    # recall ≥ 0.99 required by BASELINE.json; planted pairs are J≥0.9 so
+    # 32 bands × 4 rows should find every one
+    assert len(got) >= 0.99 * len(want)
+
+
+def brute_simhash_pairs(pdf, gram_n=4, k=7):
+    def grams(t):
+        t = t.lower()
+        return list(dict.fromkeys(t[i : i + gram_n] for i in range(max(len(t) - gram_n + 1, 1))))
+
+    sigs = {}
+    for r in pdf.itertuples():
+        h = fnv1a64_strings(grams(r.text))
+        sigs[r.doc_id] = simhash64(h)
+    ids = sorted(sigs)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= k:
+                out.add((a, b))
+    return out
+
+
+def test_simhash_pigeonhole_exact(spark, corpus):
+    pdf, df = corpus
+    want = brute_simhash_pairs(pdf, gram_n=4, k=7)
+    cfg = SimHashConfig(gram_n=4, hamming_k=7)
+    assert cfg.exactness_holds()
+    verified, drops = simhash_pairs(df, cfg)
+    got = {(r["id1"], r["id2"]) for r in verified.collect()}
+    assert drops.count() == 0
+    assert got == want  # pigeonhole ⇒ EXACT, not approximate
+
+
+def brute_containment_pairs(pdf, min_len=50):
+    rows = [(r.doc_id, r.text) for r in pdf.itertuples()]
+    out = set()
+    for a, ta in rows:
+        if len(ta) < min_len:
+            continue
+        for b, tb in rows:
+            if a != b and ta in tb:
+                out.add((a, b))
+    return out
+
+
+def test_substring_exact(spark, corpus):
+    pdf, df = corpus
+    want = brute_containment_pairs(pdf, min_len=50)
+    verified, drops = substring_pairs(df, SubstringConfig())
+    got = {(r["inner_id"], r["outer_id"]) for r in verified.collect()}
+    assert drops.count() == 0
+    assert got == want
+
+
+def test_salted_all_pairs_equals_naive(spark):
+    rng = np.random.RandomState(3)
+    rows = [(int(i), int(k)) for i, k in enumerate(rng.randint(0, 5, size=300))]
+    df = spark.createDataFrame(rows, "id long, band_key long")
+    naive = band_candidate_pairs(df, ["band_key"], "id").pairs
+    salted = band_candidate_pairs(df, ["band_key"], "id", salt=4).pairs
+    a = {(r["id1"], r["id2"]) for r in naive.collect()}
+    b = {(r["id1"], r["id2"]) for r in salted.collect()}
+    assert a == b
+    # exactly-once check (no dup pairs pre-distinct)
+    raw = salted_all_pairs(df, ["band_key"], "id", 4)
+    assert raw.count() == raw.distinct().count()
+
+
+def test_bucket_cap_drops_accounted(spark):
+    rows = [(int(i), 1) for i in range(100)] + [(100 + int(i), 2) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, band_key int")
+    res = band_candidate_pairs(df, ["band_key"], "id", max_bucket_size=10)
+    assert res.pairs.count() == 3  # only the small bucket pairs
+    d = res.drops.collect()
+    assert len(d) == 1 and d[0]["bucket_size"] == 100
