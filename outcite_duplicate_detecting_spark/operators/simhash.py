@@ -37,13 +37,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import fnv1a64_strings
-from ..functions.text import char_ngrams
+from ..functions.text import char_ngrams, word_shingles
 from .joins import PairGenResult, band_candidate_pairs
 
 
 @dataclass
 class SimHashConfig:
-    gram_n: int = 4
+    feature: str = "word"  # "word": distinct word n-grams; "char": char n-grams
+    gram_n: int = 1  # n for the chosen feature kind
     hamming_k: int = 7
     bits_per_band: int = 8  # 8 → 8 blocks (exact for k ≤ 7); 16 → 4 blocks (k ≤ 3)
     max_bucket_size: int | None = 25000
@@ -90,7 +91,16 @@ def simhash_fold_udf():
 def add_simhash(
     df: DataFrame, cfg: SimHashConfig, text_col: str = "text", out_col: str = "simhash"
 ) -> DataFrame:
-    grams = char_ngrams(text_col, cfg.gram_n)
+    """Word-level features by default: the reference's simhash also hashes
+    word/field features, not raw character windows
+    (simhash_components_disk_v3.py hashes representation feature strings).
+    Char-gram mode kept for char-noise-dominated corpora — but note that on
+    narrow-vocabulary text the char-gram *set* of unrelated documents
+    largely coincides, which makes char-gram simhash collide at k=7."""
+    if cfg.feature == "word":
+        grams = word_shingles(text_col, cfg.gram_n)
+    else:
+        grams = char_ngrams(text_col, cfg.gram_n)
     return df.withColumn(out_col, simhash_fold_udf()(grams))
 
 

@@ -104,10 +104,10 @@ def test_minhash_lsh_recall_and_precision(spark, corpus):
     assert len(got) >= 0.99 * len(want)
 
 
-def brute_simhash_pairs(pdf, gram_n=4, k=7):
+def brute_simhash_pairs(pdf, k=7):
     def grams(t):
-        t = t.lower()
-        return list(dict.fromkeys(t[i : i + gram_n] for i in range(max(len(t) - gram_n + 1, 1))))
+        w = [x for x in t.lower().split() if x]
+        return list(dict.fromkeys(" ".join(w[i : i + 1]) for i in range(max(len(w), 1))))
 
     sigs = {}
     for r in pdf.itertuples():
@@ -124,8 +124,8 @@ def brute_simhash_pairs(pdf, gram_n=4, k=7):
 
 def test_simhash_pigeonhole_exact(spark, corpus):
     pdf, df = corpus
-    want = brute_simhash_pairs(pdf, gram_n=4, k=7)
-    cfg = SimHashConfig(gram_n=4, hamming_k=7)
+    want = brute_simhash_pairs(pdf, k=7)
+    cfg = SimHashConfig(hamming_k=7)
     assert cfg.exactness_holds()
     verified, drops = simhash_pairs(df, cfg)
     got = {(r["id1"], r["id2"]) for r in verified.collect()}
