@@ -1,0 +1,95 @@
+"""Pairwise similarity scoring and verification.
+
+Reference stages 2-3: per-feature-type similarity kernels combined with a
+frozen logistic model (weights/bias trained offline —
+/root/reference/code/2_update_clusterIDs.py:89-107,
+/root/reference/code/M_train_classifier.py:38-61), then a rule-based
+pairwise classifier inside each cluster
+(/root/reference/code/3_update_duplicateIDs.py:104-116, 238-264).
+
+Spark mapping (SURVEY.md §2.8 / §2.11):
+- similarity kernels (jaccard / dice / overlap / cosine from intersection
+  counts, reference code/common.py:280-312) = pure column arithmetic,
+- the logistic combination = one column expression (no UDF),
+- the within-cluster pairwise classifier = self-join on cluster id with
+  id1 < id2 (groups are capped; reference guard common.py:96), or
+  ``applyInPandas`` when the decision needs difflib-style sequence logic.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sim_kernels(inter: Column, s1: Column, s2: Column) -> dict[str, Column]:
+    """The reference's four kernels from sparse intersection counts
+    (code/common.py:280-312), as exact column expressions."""
+    return {
+        "jaccard": inter / (s1 + s2 - inter),
+        "dice": (inter * 2) / (s1 + s2),
+        "overlap": inter / F.least(s1, s2),
+        "cosine": inter / F.sqrt((s1 * s2).cast("double")),
+    }
+
+
+@dataclass
+class LogisticPairScorer:
+    """sigmoid(Σ w_k · sim_k + bias) — reference stage-2 combination
+    (code/2_update_clusterIDs.py:89-101; production uses a single jaccard
+    feature at threshold ≈ 0.1 with trained weight/bias)."""
+
+    weights: dict[str, float] = field(default_factory=lambda: {"jaccard": 12.0})
+    bias: float = -5.5588  # reference bias constant, 2_update_clusterIDs.py:101
+    threshold: float = 0.5
+
+    def score(self, sims: dict[str, Column]) -> Column:
+        z = F.lit(self.bias)
+        for name, w in self.weights.items():
+            z = z + F.lit(w) * sims[name]
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    def decide(self, sims: dict[str, Column]) -> Column:
+        return self.score(sims) > self.threshold
+
+
+def score_pairs(
+    pairs: DataFrame,
+    scorer: LogisticPairScorer | None = None,
+    inter_col: str = "inter_size",
+    union_col: str = "union_size",
+) -> DataFrame:
+    """Score verified pairs carrying (inter_size, union_size): adds
+    score_ppm (long, floor(score·1e6)) and is_equivalent."""
+    scorer = scorer or LogisticPairScorer()
+    inter = F.col(inter_col).cast("double")
+    union = F.col(union_col).cast("double")
+    s1_plus_s2 = union + inter
+    sims = {
+        "jaccard": inter / union,
+        "dice": (inter * 2) / s1_plus_s2,
+    }
+    available = {k: v for k, v in sims.items() if k in scorer.weights}
+    score = scorer.score(available)
+    return pairs.withColumns(
+        {
+            "score_ppm": F.floor(score * 1000000).cast("long"),
+            "is_equivalent": score > scorer.threshold,
+        }
+    )
+
+
+def within_cluster_pairs(
+    assignments: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All ordered member pairs per cluster — the reference's O(n²)
+    pairwise_classifier iteration space (3_update_duplicateIDs.py:104-116)
+    as a self-join; AQE splits skewed clusters."""
+    a = assignments.select(cluster_col, F.col(id_col).alias("id1"))
+    b = assignments.select(cluster_col, F.col(id_col).alias("id2"))
+    return a.join(b, cluster_col).where(F.col("id1") < F.col("id2"))

@@ -1,0 +1,181 @@
+"""Tests for textstats, similarity, evaluate, canonicalize, classify,
+multimodal plumbing, and streaming incremental."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from outcite_duplicate_detecting_spark.operators.canonicalize import (
+    canonical_members,
+    majority_vote_fields,
+    merge_clusters_grouped,
+)
+from outcite_duplicate_detecting_spark.operators.classify import (
+    LogisticPairScorer,
+    score_pairs,
+    within_cluster_pairs,
+)
+from outcite_duplicate_detecting_spark.operators.evaluate import pairwise_pr
+from outcite_duplicate_detecting_spark.operators.multimodal import extract_features
+from outcite_duplicate_detecting_spark.operators.similarity import (
+    AnnLshConfig,
+    ann_lsh_cosine,
+    knn_cosine_brute,
+)
+from outcite_duplicate_detecting_spark.operators.textstats import (
+    language_id,
+    text_quality,
+    token_stats,
+)
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat !!"), (2, ""), (3, "word " * 60)],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in text_quality(token_stats(df)).collect()}
+    assert rows[1]["n_tokens"] == 7
+    assert rows[1]["n_distinct_tokens"] == 6
+    assert rows[2]["n_tokens"] == 0 and rows[2]["quality_score"] >= 0
+    assert rows[3]["n_tokens"] == 60
+    # 60 tokens of 'word': len rule ok, mean len 4 ok, no punct, distinct 1/60 < 0.1
+    assert rows[3]["quality_score"] == 3
+    assert rows[1]["punct_ppm"] == (2 * 1000000) // 25
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und das haus"),
+            (3, "xyz qrs tuv"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert rows[1] == "en" and rows[2] == "de" and rows[3] == "en"
+
+
+def test_knn_cosine_brute_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_cosine_brute(df, q, k=4).collect()
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    cos = (v64 @ v64.T) / np.outer(norms, norms)
+    for qid in range(3):
+        order = sorted(
+            (j for j in range(40) if j != qid), key=lambda j: (-cos[qid, j], j)
+        )[:4]
+        mine = sorted(
+            [(r["rank"], r["neighbor_id"]) for r in got if r["query_id"] == qid]
+        )
+        assert [n for _, n in mine] == order
+
+
+def test_ann_lsh_recall(spark):
+    rng = np.random.RandomState(1)
+    base = rng.standard_normal((60, 16))
+    # plant 3 near-identical neighbors for query 0
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)
+    base[2] = base[0] + 0.01 * rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(i, base[i].astype(np.float32).tolist()) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ann_lsh_cosine(df, q, AnnLshConfig(k=2))
+    top = {r["neighbor_id"] for r in got.collect()}
+    assert {1, 2} == top
+
+
+def test_pairwise_pr_reference_semantics(spark):
+    # gold: {a,b,c}, {d}; pred: {a,b}, {c,d}
+    rows = [("a", 1, 10), ("b", 1, 10), ("c", 1, 20), ("d", 2, 20)]
+    df = spark.createDataFrame(rows, "id string, gold long, label long")
+    r = pairwise_pr(df, gold_col="gold", label_col="label").collect()[0]
+    # T = 9+1 = 10; P = 4+4 = 8; TP = |{a,b}|^2 + |{c}|^2 + |{d}|^2 = 4+1+1 = 6
+    assert (r["t_mass"], r["p_mass"], r["tp_mass"]) == (10, 8, 6)
+    assert r["precision_ppm"] == 750000
+    assert r["recall_ppm"] == 600000
+
+
+def test_canonicalize(spark):
+    docs = spark.createDataFrame(
+        [(1, "short", "en"), (2, "the longest text here", "de"), (3, "mid text", "de")],
+        "doc_id long, text string, lang string",
+    )
+    assign = spark.createDataFrame([(1, 100), (2, 100), (3, 100)], "doc_id long, cluster_id long")
+    r = canonical_members(assign, docs).collect()[0]
+    assert r["canonical_id"] == 2 and r["cluster_size"] == 3
+    m = merge_clusters_grouped(docs.join(assign, "doc_id")).collect()[0]
+    assert m["canonical_id"] == 2 and m["member_ids"] == [1, 2, 3]
+    mv = majority_vote_fields(docs.join(assign, "doc_id"), "cluster_id", ["lang"]).collect()[0]
+    assert mv["lang"] == "de"
+
+
+def test_logistic_scorer(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 90, 100), (3, 4, 5, 100)], "id1 long, id2 long, inter_size long, union_size long"
+    )
+    scorer = LogisticPairScorer(weights={"jaccard": 12.0}, bias=-5.5588, threshold=0.5)
+    rows = {(r["id1"], r["id2"]): r for r in score_pairs(pairs, scorer).collect()}
+    z = 12.0 * 0.9 - 5.5588
+    want = math.floor(1e6 / (1 + math.exp(-z)))
+    assert rows[(1, 2)]["score_ppm"] == want
+    assert rows[(1, 2)]["is_equivalent"] and not rows[(3, 4)]["is_equivalent"]
+
+
+def test_within_cluster_pairs(spark):
+    a = spark.createDataFrame([(1, 9), (2, 9), (3, 9), (4, 8)], "doc_id long, cluster_id long")
+    got = {(r["id1"], r["id2"]) for r in within_cluster_pairs(a).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"imgbytes"), 0, 0, 0), (2, "audio", bytearray(b"au"), 0, 0, 0)],
+        "media_id long, modality string, content binary, meta_width int, meta_height int, meta_duration_ms int",
+    )
+    feats = extract_features(media, feature_dim=8).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 8 and len(by_id[1]["feature"]) == 8
+    # deterministic across invocations
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, feature_dim=8).collect()}
+    assert again[1] == by_id[1]["feature"]
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        extract_features(media, deterministic_fake=False).collect()
+
+
+def test_streaming_incremental(spark, tmp_path):
+    from outcite_duplicate_detecting_spark.streaming.incremental import (
+        incremental_new_rows,
+        stream_signatures,
+    )
+
+    snap = spark.createDataFrame([("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, text string")
+    manifest = spark.createDataFrame([("u1",)], "url string")
+    assert {r["url"] for r in incremental_new_rows(snap, manifest).collect()} == {"u2", "u3"}
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    pages = spark.createDataFrame(
+        [("u1", None, None, "hello world text", "en"), ("u2", None, None, "other text", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    pages.write.parquet(src)
+    q = stream_signatures(spark, src, out, ck)
+    q.awaitTermination(120)
+    sigs = spark.read.parquet(out)
+    assert sigs.count() == 2
+    assert len(sigs.first()["minhash_sig"]) == 128
