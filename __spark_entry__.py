@@ -1,10 +1,12 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship end-to-end dedup pipeline on sf0.001.
+``queries`` registers every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup family, similarity search, text
+analysis, multimodal plumbing); ``oracle_sql`` carries the DuckDB twin for
+every SQL-expressible one. Column names and exact arithmetic (integer ppm
+ratios, decimal sums) are aligned on both sides so the driver's
+order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
@@ -12,27 +14,561 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from outcite_duplicate_detecting_spark.functions.text import (
+    duck_word_shingles,
+)
+from outcite_duplicate_detecting_spark.operators import dedup as _dedup
+from outcite_duplicate_detecting_spark.operators import textstats as _ts
+from outcite_duplicate_detecting_spark.operators.classify import (
+    LogisticPairScorer,
+    score_pairs,
+)
+from outcite_duplicate_detecting_spark.operators.components import connected_components
+from outcite_duplicate_detecting_spark.operators.evaluate import pairwise_pr
+from outcite_duplicate_detecting_spark.operators.minhash import (
+    MinHashConfig,
+    minhash_lsh_pairs,
+)
+from outcite_duplicate_detecting_spark.operators.multimodal import extract_features
+from outcite_duplicate_detecting_spark.operators.similarity import (
+    AnnLshConfig,
+    ann_lsh_cosine,
+    knn_cosine_brute,
+)
+from outcite_duplicate_detecting_spark.operators.simhash import SimHashConfig, simhash_pairs
+from outcite_duplicate_detecting_spark.operators.substring import (
+    SubstringConfig,
+    substring_pairs,
+)
+from outcite_duplicate_detecting_spark.plans.pipeline import PipelineConfig, dedup_pipeline
+from outcite_duplicate_detecting_spark.sources.tables import documents_as_pages, load_table
+
+JACCARD_THRESHOLD = 0.8
+SHINGLE_N = 3
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-duplicate clustering pipeline on sf0.001."""
+    pages = documents_as_pages(spark, "/root/testdata/sf0.001")
+    return dedup_pipeline(spark, pages, PipelineConfig(), run_id="entry")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- queries
+
+def q_group_count(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def q_filter_project(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.where((F.col("n_chars").between(100, 300)) & (F.col("lang") == "en")).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars", "rn")
+    )
+
+
+def q_agg_lineitem(spark, sf_dir):
+    # money/quantity as exact integer cents: decimal cast is exact on 2dp
+    # inputs and the integer sum hash-matches across engines
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents("l_quantity")).cast("long").alias("sum_qty_cents"),
+        F.sum(cents("l_extendedprice")).cast("long").alias("sum_price_cents"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents).cast("long").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; route through ltz (session TZ pinned UTC)
+    # so epoch seconds equal DuckDB's epoch() over the naive value
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+
+
+def q_histogram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(F.count("*").alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count("*").cast("long").alias("n_groups"))
+        .select(F.col("group_size").cast("long"), "n_groups")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return _dedup.exact_duplicates(_docs(spark, sf_dir)).select(
+        "text_sha", F.col("freq").cast("long"), "canonical_id"
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return _dedup.jaccard_pairs(
+        _docs(spark, sf_dir), n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    verified, _drops = minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        MinHashConfig(shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD),
+    )
+    return verified
+
+
+def q_dedup_simhash(spark, sf_dir):
+    verified, _drops = simhash_pairs(_docs(spark, sf_dir), SimHashConfig())
+    return verified
+
+
+def q_dedup_substring(spark, sf_dir):
+    verified, _drops = substring_pairs(_docs(spark, sf_dir), SubstringConfig())
+    return verified
+
+
+def q_connected_components(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    edges = _dedup.jaccard_pairs(d, n=SHINGLE_N, threshold=JACCARD_THRESHOLD)
+    return connected_components(
+        edges,
+        src="id1",
+        dst="id2",
+        nodes=d.select(F.col("doc_id").alias("id")),
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("component_id"))
+
+
+def q_text_quality(spark, sf_dir):
+    return _ts.text_quality(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars_txt",
+        "n_tokens",
+        "punct_ppm",
+        "stopword_ppm",
+        "distinct_ppm",
+        "mean_token_len_ppm",
+        "quality_score",
+    )
+
+
+def q_language_id(spark, sf_dir):
+    return _ts.language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_token_count(spark, sf_dir):
+    return _ts.token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_alpha_tokens", "n_distinct_tokens"
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return _ts.doc_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_cosine_brute(emb, queries_df, k=5)
+
+
+def q_ann_lsh_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # short codes + more tables: the testdata embeddings have no strong
+    # planted neighbors (max cos ≈ 0.4), so recall needs OR-amplification
+    return ann_lsh_cosine(emb, queries_df, AnnLshConfig(n_planes=6, n_tables=12, k=5))
+
+
+def q_eval_pairwise_pr(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    labels = q_connected_components(spark, sf_dir)
+    assign = d.select("doc_id", F.col("source").alias("gold")).join(
+        labels.select("doc_id", F.col("component_id").alias("label")), "doc_id"
+    )
+    return pairwise_pr(assign, id_col="doc_id", gold_col="gold", label_col="label")
+
+
+def q_cluster_logistic(spark, sf_dir):
+    pairs = _dedup.jaccard_pairs(
+        _docs(spark, sf_dir), n=SHINGLE_N, threshold=0.5
+    )
+    return score_pairs(pairs, LogisticPairScorer(weights={"jaccard": 12.0})).select(
+        "id1", "id2", "score_ppm", "is_equivalent"
+    )
+
+
+def q_majority_vote(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("majority_lang"), F.col("n").cast("long").alias("votes"))
+    )
+
+
+def q_top_terms(spark, sf_dir):
+    from outcite_duplicate_detecting_spark.functions.text import words
+
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    counts = (
+        d.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("term", F.col("freq").cast("long"), "rank")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text-blob").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(0).alias("meta_width"),
+        F.lit(0).alias("meta_height"),
+        F.lit(0).alias("meta_duration_ms"),
+    )
+    return extract_features(media, feature_dim=8).select("media_id", "modality", "n_bytes")
+
+
+def q_incremental_newrows(spark, sf_dir):
+    from outcite_duplicate_detecting_spark.streaming.incremental import incremental_new_rows
+
+    d = _docs(spark, sf_dir)
+    manifest = d.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select("doc_id")
+    return incremental_new_rows(d, manifest, key="doc_id").select("doc_id", "source")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "group_count": q_group_count,
+        "filter_project": q_filter_project,
+        "topk_per_group": q_topk_per_group,
+        "agg_lineitem": q_agg_lineitem,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "sessionize": q_sessionize,
+        "histogram": q_histogram,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_substring": q_dedup_substring,
+        "connected_components": q_connected_components,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn_cosine": q_knn_cosine,
+        "ann_lsh_cosine": q_ann_lsh_cosine,
+        "eval_pairwise_pr": q_eval_pairwise_pr,
+        "cluster_logistic": q_cluster_logistic,
+        "majority_vote": q_majority_vote,
+        "top_terms": q_top_terms,
+        "multimodal_features": q_multimodal_features,
+        "incremental_newrows": q_incremental_newrows,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+_SHINGLES = duck_word_shingles("text", SHINGLE_N)
+
+_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+),
+sized AS (SELECT doc_id, shingles, len(shingles) AS sz FROM sh),
+ex AS (SELECT doc_id, sz, unnest(shingles) AS shingle FROM sized),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS sz1, b.sz AS sz2,
+         count(*) AS inter_size
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id1, id2, inter_size::BIGINT AS inter_size,
+       (sz1 + sz2 - inter_size)::BIGINT AS union_size
+FROM inter
+WHERE inter_size * 1000000 >= (sz1 + sz2 - inter_size) * {int(JACCARD_THRESHOLD * 1e6)}
+"""
+
+_CC = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS component_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+_WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+_STOP_LIST = "[" + ",".join(f"'{s}'" for s in _ts.STOPWORDS_EN) + "]"
+
+
+def _lang_score(markers: list[str]) -> str:
+    lst = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter({_WORDS}, x -> list_contains({lst}, x)))"
+
+
+def _language_sql() -> str:
+    scores = {lang: _lang_score(m) for lang, m in _ts.LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in _ts.LANG_MARKERS
+    )
+    selects = ",\n".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {selects}, {best} AS best
+  FROM documents
+)
+SELECT doc_id, CASE {whens} ELSE 'en' END AS lang_pred FROM scored
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ppm = "CASE WHEN {den} > 0 THEN (({num}) * 1000000) // ({den}) ELSE 0 END"
+    return {
+        "group_count": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "filter_project": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE n_chars BETWEEN 100 AND 300 AND lang = 'en'"
+        ),
+        "topk_per_group": """
+            SELECT lang, doc_id, n_chars, rn::INT AS rn FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 3
+        """,
+        "agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   sum((l_quantity::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_qty_cents,
+                   sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_price_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "join_revenue_by_nation": """
+            SELECT n_name,
+                   sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS revenue_cents,
+                   count(*)::BIGINT AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "sessionize": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                          OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+              FROM marked
+            )
+            SELECT user_id, session_id, count(*)::BIGINT AS n_events
+            FROM sess GROUP BY 1, 2
+        """,
+        "histogram": """
+            SELECT group_size::BIGINT AS group_size, count(*)::BIGINT AS n_groups FROM (
+              SELECT source, count(*) AS group_size FROM documents GROUP BY source) t
+            GROUP BY group_size
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS text_sha, count(*)::BIGINT AS freq,
+                   min(doc_id) AS canonical_id
+            FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+        """,
+        "dedup_jaccard": _JACCARD_PAIRS,
+        "dedup_minhash_lsh": _JACCARD_PAIRS,
+        "dedup_substring": """
+            SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+            FROM documents a JOIN documents b
+              ON a.doc_id != b.doc_id
+             AND length(a.text) >= 50
+             AND strpos(b.text, a.text) > 0
+        """,
+        "connected_components": _CC,
+        "text_quality": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     length(text)::BIGINT AS n_chars_txt,
+                     len({_WORDS})::BIGINT AS n_tokens,
+                     len(list_filter({_WORDS}, x -> list_contains({_STOP_LIST}, x)))::BIGINT AS stop_hits,
+                     (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS punct,
+                     coalesce(list_sum(list_transform({_WORDS}, x -> length(x))), 0)::BIGINT AS tok_chars,
+                     len(list_distinct({_WORDS}))::BIGINT AS distinct_toks
+              FROM documents
+            )
+            SELECT doc_id, n_chars_txt, n_tokens,
+                   ({ppm.format(num='punct', den='n_chars_txt')})::BIGINT AS punct_ppm,
+                   ({ppm.format(num='stop_hits', den='n_tokens')})::BIGINT AS stopword_ppm,
+                   ({ppm.format(num='distinct_toks', den='n_tokens')})::BIGINT AS distinct_ppm,
+                   ({ppm.format(num='tok_chars', den='n_tokens')})::BIGINT AS mean_token_len_ppm,
+                   ((CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+                  + (CASE WHEN ({ppm.format(num='tok_chars', den='n_tokens')}) BETWEEN 3000000 AND 12000000 THEN 1 ELSE 0 END)
+                  + (CASE WHEN ({ppm.format(num='punct', den='n_chars_txt')}) <= 100000 THEN 1 ELSE 0 END)
+                  + (CASE WHEN ({ppm.format(num='distinct_toks', den='n_tokens')}) >= 100000 THEN 1 ELSE 0 END))::INT AS quality_score
+            FROM base
+        """,
+        "language_id": _language_sql(),
+        "token_count": f"""
+            SELECT doc_id,
+                   len({_WORDS})::BIGINT AS n_tokens,
+                   len(list_filter({_WORDS}, x -> regexp_full_match(x, '[a-zà-ÿ]+')))::BIGINT AS n_alpha_tokens,
+                   len(list_distinct({_WORDS}))::BIGINT AS n_distinct_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_sum(list_transform(range(1, len(e.embedding)+1),
+                       i -> (q.qv[i]::DOUBLE) * (e.embedding[i]::DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> (q.qv[i]::DOUBLE)^2)))
+                      * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> (e.embedding[i]::DOUBLE)^2)))) AS cos
+              FROM embeddings e, q WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id, rn::INT AS rank, floor(cos * 1000000)::BIGINT AS cos_ppm
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+                  FROM scored) t
+            WHERE rn <= 5
+        """,
+        "eval_pairwise_pr": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+            edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            labels AS (
+              SELECT d.doc_id, d.source AS gold,
+                     least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS label
+              FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id, d.source
+            ),
+            t AS (SELECT sum(n * n)::BIGINT AS t_mass FROM (SELECT count(*) AS n FROM labels GROUP BY gold)),
+            p AS (SELECT sum(n * n)::BIGINT AS p_mass FROM (SELECT count(*) AS n FROM labels GROUP BY label)),
+            tp AS (SELECT sum(n * n)::BIGINT AS tp_mass FROM (SELECT count(*) AS n FROM labels GROUP BY gold, label))
+            SELECT t_mass, p_mass, tp_mass,
+                   (CASE WHEN p_mass > 0 THEN tp_mass * 1000000 // p_mass ELSE 0 END)::BIGINT AS precision_ppm,
+                   (CASE WHEN t_mass > 0 THEN tp_mass * 1000000 // t_mass ELSE 0 END)::BIGINT AS recall_ppm,
+                   (CASE WHEN p_mass + t_mass > 0 THEN 2 * tp_mass * 1000000 // (p_mass + t_mass) ELSE 0 END)::BIGINT AS f1_ppm
+            FROM t, p, tp
+        """,
+        "cluster_logistic": f"""
+            WITH pairs AS ({_JACCARD_PAIRS.replace(str(int(JACCARD_THRESHOLD * 1e6)), "500000")})
+            SELECT id1, id2,
+                   floor(1000000.0 / (1.0 + exp(-(12.0 * (inter_size::DOUBLE / union_size::DOUBLE) - 5.5588))))::BIGINT AS score_ppm,
+                   (1.0 / (1.0 + exp(-(12.0 * (inter_size::DOUBLE / union_size::DOUBLE) - 5.5588)))) > 0.5 AS is_equivalent
+            FROM pairs
+        """,
+        "majority_vote": """
+            SELECT source, lang AS majority_lang, n::BIGINT AS votes FROM (
+              SELECT source, lang, count(*) AS n,
+                     row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+              FROM documents GROUP BY source, lang) t
+            WHERE rn = 1
+        """,
+        "top_terms": f"""
+            SELECT term, freq::BIGINT AS freq, rank::INT AS rank FROM (
+              SELECT term, count(*) AS freq,
+                     row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+              FROM (SELECT unnest({_WORDS}) AS term FROM documents) t
+              GROUP BY term) r
+            WHERE rank <= 20
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id, 'text-blob' AS modality,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents
+        """,
+        "incremental_newrows": """
+            SELECT doc_id, source FROM documents WHERE doc_id % 3 != 0
+        """,
+        # dedup_simhash, ann_lsh_cosine: signature-dependent candidate sets —
+        # not SQL-expressible; driver records rows-only checks.
+    }

@@ -44,7 +44,10 @@ from .joins import PairGenResult, band_candidate_pairs
 @dataclass
 class SimHashConfig:
     feature: str = "word"  # "word": distinct word n-grams; "char": char n-grams
-    gram_n: int = 1  # n for the chosen feature kind
+    # word BIgrams by default: unigram sets collapse on narrow vocabularies
+    # (every doc ≈ the whole vocab ⇒ hamming ≈ 0 between unrelated docs),
+    # while bigrams keep near-dup pairs ≤ k and random pairs far above it
+    gram_n: int = 2
     hamming_k: int = 7
     bits_per_band: int = 8  # 8 → 8 blocks (exact for k ≤ 7); 16 → 4 blocks (k ≤ 3)
     max_bucket_size: int | None = 25000

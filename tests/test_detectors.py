@@ -104,10 +104,14 @@ def test_minhash_lsh_recall_and_precision(spark, corpus):
     assert len(got) >= 0.99 * len(want)
 
 
-def brute_simhash_pairs(pdf, k=7):
+def brute_simhash_pairs(pdf, k=7, n=2):
     def grams(t):
         w = [x for x in t.lower().split() if x]
-        return list(dict.fromkeys(" ".join(w[i : i + 1]) for i in range(max(len(w), 1))))
+        return list(
+            dict.fromkeys(
+                " ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1))
+            )
+        )
 
     sigs = {}
     for r in pdf.itertuples():
