@@ -32,21 +32,39 @@ def words(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != F.lit(""))
 
 
+def _sliding_join(arr: Column, n: int, sep: str) -> Column:
+    """Sliding n-window join over an array column, O(n·len) per row.
+
+    Implementation note: referencing an outer column subtree *inside* a
+    higher-order-function lambda re-evaluates that subtree per array element
+    (no CSE inside HOF lambdas) — a naive transform(sequence(...),
+    i -> slice(arr, i, n)) is therefore O(len²) per row. Building n shifted
+    copies once per row and zipping them keeps it linear.
+    """
+    shifted = [arr if i == 0 else F.slice(arr, i + 1, 2_147_483_000) for i in range(n)]
+    zipped = F.arrays_zip(*shifted)  # padded with nulls at the tail
+    fields = [str(i) for i in range(n)]
+    joined = F.transform(
+        zipped, lambda s: F.concat_ws(sep, *[s[f] for f in fields])
+    )
+    win = F.slice(joined, 1, F.greatest(F.size(arr) - (n - 1), F.lit(1)))
+    # empty array: established semantics yield a single '' shingle
+    return F.when(F.size(arr) == 0, F.array(F.lit(""))).otherwise(win)
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined), as array<string>."""
-    w = words(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
-    )
+    if n == 1:
+        w = words(col)
+        return F.when(F.size(w) == 0, F.array(F.lit(""))).otherwise(F.array_distinct(w))
+    return F.array_distinct(_sliding_join(words(col), n, " "))
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text, as array<string>."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.lower(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+    chars = F.split(F.lower(c), "")
+    return F.array_distinct(_sliding_join(chars, n, ""))
 
 
 def token_count(col: Column | str) -> Column:

@@ -149,7 +149,12 @@ def simhash_pairs(
     """
     cfg = cfg or SimHashConfig()
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    signed = add_simhash(base, cfg, text_col="text").select("id", "simhash")
+    # eager materialization: feeds block postings AND both verify sides
+    signed = (
+        add_simhash(base, cfg, text_col="text")
+        .select("id", "simhash")
+        .localCheckpoint(eager=True)
+    )
     postings = block_postings(signed, cfg, id_col="id")
     cands = band_candidate_pairs(
         postings,

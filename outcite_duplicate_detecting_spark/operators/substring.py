@@ -83,7 +83,11 @@ def substring_pairs(
     """
     cfg = cfg or SubstringConfig()
     assert cfg.min_len >= cfg.guarantee_t, "winnowing guarantee requires min_len >= w+k-1"
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # eager materialization: texts feed fingerprinting AND both verify sides
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .localCheckpoint(eager=True)
+    )
     fps = add_fingerprints(base, cfg).select(
         "id", F.explode("fingerprints").alias("fp")
     )

@@ -21,6 +21,7 @@ parquet layout keeps identical semantics without the runtime jar.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -76,6 +77,11 @@ def run_stage(
 
     df = compute()
     df.write.mode("overwrite").parquet(data_dir)
+    # drop operator-internal localCheckpoint blocks promptly: the stage's
+    # parquet checkpoint supersedes them, and accumulated RDD blocks
+    # (shingle/signature arrays) otherwise pressure the executor heap
+    del df
+    gc.collect()
     out = spark.read.parquet(data_dir)
     counters = partition_counters(out).withColumns(
         {"stage": F.lit(stage), "run_id": F.lit(run_id)}

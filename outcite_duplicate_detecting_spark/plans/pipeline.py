@@ -56,7 +56,14 @@ from .manifest import run_stage
 @dataclass
 class PipelineConfig:
     minhash: MinHashConfig = field(default_factory=MinHashConfig)
-    simhash: SimHashConfig = field(default_factory=SimHashConfig)
+    # 16-bit simhash bands: the web-scale setting (collisions 1/65536 vs
+    # 1/256 ⇒ candidate volume drops ~256×). Pigeonhole-exact for hamming
+    # ≤ 3; the 4..7 tail is partially covered here and overlaps the MinHash
+    # detector's Jaccard regime. Reference-parity 8×8 (exact ≤ 7) remains
+    # the SimHashConfig() default for standalone use.
+    simhash: SimHashConfig = field(
+        default_factory=lambda: SimHashConfig(bits_per_band=16)
+    )
     substring: SubstringConfig = field(default_factory=SubstringConfig)
     use_minhash: bool = True
     use_simhash: bool = True
@@ -114,8 +121,13 @@ def dedup_pipeline(
         )
 
     collapsed, _ = stage("collapse", _collapse)
-    reps = collapsed.select("rep_id", "text", "freq").where(
-        F.length("text") >= cfg.min_text_chars
+    # detectors are UDF-bound, not byte-bound: spread them over the cores
+    # rather than letting AQE coalesce the (small-on-disk) checkpoint files
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    reps = (
+        collapsed.select("rep_id", "text", "freq")
+        .where(F.length("text") >= cfg.min_text_chars)
+        .repartition(n_parts, "rep_id")
     )
 
     edge_frames: list[DataFrame] = []

@@ -34,6 +34,15 @@ def get_spark(
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"
+
+    # make the package importable in python workers regardless of the
+    # driver's cwd (the local-mode analogue of spark-submit --py-files)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     n_cores = os.cpu_count() or 8 if cores == "*" else int(cores)
     if shuffle_partitions is None:
         shuffle_partitions = max(n_cores, 8)

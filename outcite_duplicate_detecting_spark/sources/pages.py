@@ -81,7 +81,9 @@ def generate_pages_pdf(spec: CorpusSpec) -> pd.DataFrame:
         rows.append((" ".join(toks), cluster_id, "near"))
         for _ in range(cluster_sizes() - 1):
             t2 = list(toks)
-            n_edit = max(1, int(len(t2) * rng.uniform(0.01, 0.05)))
+            # ≤2.5% token edits keeps word-3-shingle Jaccard ≥ 0.8 vs the
+            # base (each edit perturbs ≤3 shingles) — the FIXTURES.md contract
+            n_edit = max(1, int(len(t2) * rng.uniform(0.005, 0.025)))
             for _ in range(n_edit):
                 op = rng.randint(3)
                 pos = rng.randint(0, len(t2))
