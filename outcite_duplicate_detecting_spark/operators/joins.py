@@ -69,6 +69,10 @@ def band_candidate_pairs(
         a = keyed.select(*key_cols, F.col(id_col).alias("id1"))
         b = keyed.select(*key_cols, F.col(id_col).alias("id2"))
         pairs = a.join(b, on=key_cols).where(F.col("id1") < F.col("id2"))
+    # plain distinct: map-side partial dedup collapses the (band-count ×)
+    # duplicate factor before the shuffle. Reducer parallelism for these
+    # byte-small/CPU-heavy shuffles is protected by the session's
+    # adaptive.coalescePartitions.minPartitionSize setting (session.py).
     return PairGenResult(pairs.select("id1", "id2").distinct(), drops)
 
 

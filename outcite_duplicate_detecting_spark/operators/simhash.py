@@ -52,6 +52,12 @@ class SimHashConfig:
     bits_per_band: int = 8  # 8 → 8 blocks (exact for k ≤ 7); 16 → 4 blocks (k ≤ 3)
     max_bucket_size: int | None = 25000
     salt: int | None = None
+    # "xxhash64": per-gram hashes computed JVM-side, only the bit-majority
+    # fold crosses into Python as array<long> — the scale path (shipping the
+    # gram *strings* through Arrow costs ~10× the fold itself).
+    # "fnv1a": gram strings hashed in-UDF with FNV-1a 64 — algorithmic
+    # parity with the reference's hash choice.
+    hash_fn: str = "xxhash64"
 
     @property
     def bands(self) -> int:
@@ -62,33 +68,53 @@ class SimHashConfig:
         return self.hamming_k < self.bands
 
 
-def simhash_fold_udf():
-    """pandas UDF: array<string> grams → long simhash signature (bit-cast).
+def _fold_hash_matrix(list_of_hash_arrays: list[np.ndarray]) -> np.ndarray:
+    """Batch bit-majority fold: unpackbits once, per-doc sums via reduceat."""
+    counts = np.fromiter(
+        (len(g) for g in list_of_hash_arrays), dtype=np.int64, count=len(list_of_hash_arrays)
+    )
+    if counts.sum() == 0:
+        return np.zeros(len(list_of_hash_arrays), dtype=np.uint64)
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.uint64) for a in list_of_hash_arrays if len(a)]
+    )
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    safe_offsets = np.minimum(offsets, max(len(flat) - 1, 0))
+    sums = np.add.reduceat(bits, safe_offsets, axis=0)
+    maj = (sums * 2 > counts[:, None]).astype(np.uint8)
+    maj[counts == 0] = 0
+    return np.packbits(maj, axis=1, bitorder="little").view(np.uint64).reshape(-1)
 
-    Batch-vectorized: one FNV matrix pass over every gram in the Arrow
-    batch, one unpackbits, per-doc bit sums via np.add.reduceat.
+
+def simhash_fold_udf(hash_fn: str = "xxhash64"):
+    """pandas UDF folding per-gram hashes into a 64-bit simhash signature.
+
+    xxhash64 mode receives array<long> (grams hashed JVM-side); fnv1a mode
+    receives array<string> and hashes in-UDF (reference hash parity). The
+    fold itself is one unpackbits + np.add.reduceat per Arrow batch.
     """
 
-    @F.pandas_udf(T.LongType())
-    def fold(grams: pd.Series) -> pd.Series:
-        lists = [list(g) if g is not None else [] for g in grams]
-        counts = np.fromiter((len(g) for g in lists), dtype=np.int64, count=len(lists))
-        flat: list[str] = [s for g in lists for s in g]
-        if not flat:
-            return pd.Series(np.zeros(len(lists), dtype=np.int64))
-        hashes = fnv1a64_strings(flat)
-        bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        offsets = np.zeros(len(lists), dtype=np.int64)
-        np.cumsum(counts[:-1], out=offsets[1:])
-        # empty docs: reduceat needs strictly valid indices; clamp + zero later
-        safe_offsets = np.minimum(offsets, max(len(flat) - 1, 0))
-        sums = np.add.reduceat(bits, safe_offsets, axis=0)
-        maj = (sums * 2 > counts[:, None]).astype(np.uint8)
-        maj[counts == 0] = 0
-        packed = np.packbits(maj, axis=1, bitorder="little").view(np.uint64).reshape(-1)
-        return pd.Series(packed.view(np.int64))
+    if hash_fn == "fnv1a":
 
-    return fold
+        @F.pandas_udf(T.LongType())
+        def fold_strings(grams: pd.Series) -> pd.Series:
+            lists = [list(g) if g is not None else [] for g in grams]
+            arrays = [fnv1a64_strings(g) for g in lists]
+            return pd.Series(_fold_hash_matrix(arrays).view(np.int64))
+
+        return fold_strings
+
+    @F.pandas_udf(T.LongType())
+    def fold_hashes(hashes: pd.Series) -> pd.Series:
+        arrays = [
+            np.asarray(h, dtype=np.int64).view(np.uint64) if h is not None else np.empty(0, np.uint64)
+            for h in hashes
+        ]
+        return pd.Series(_fold_hash_matrix(arrays).view(np.int64))
+
+    return fold_hashes
 
 
 def add_simhash(
@@ -104,7 +130,10 @@ def add_simhash(
         grams = word_shingles(text_col, cfg.gram_n)
     else:
         grams = char_ngrams(text_col, cfg.gram_n)
-    return df.withColumn(out_col, simhash_fold_udf()(grams))
+    if cfg.hash_fn == "fnv1a":
+        return df.withColumn(out_col, simhash_fold_udf("fnv1a")(grams))
+    gram_hashes = F.transform(grams, lambda s: F.xxhash64(s))
+    return df.withColumn(out_col, simhash_fold_udf("xxhash64")(gram_hashes))
 
 
 def block_postings(

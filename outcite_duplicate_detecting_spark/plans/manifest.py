@@ -51,6 +51,22 @@ def partition_counters(df: DataFrame) -> DataFrame:
     )
 
 
+def _file_counters(data_dir: str) -> list[dict]:
+    """Per-output-file row counts straight from the parquet footers —
+    metadata-only, no Spark job. One output file ≈ one write partition, so
+    this carries the per-partition lineage the manifests promise at zero
+    compute cost."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i, name in enumerate(sorted(os.listdir(data_dir))):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(data_dir, name))
+        rows.append({"partition_id": i, "file": name, "rows": md.num_rows})
+    return rows
+
+
 def run_stage(
     spark: SparkSession,
     workdir: str,
@@ -83,13 +99,18 @@ def run_stage(
     del df
     gc.collect()
     out = spark.read.parquet(data_dir)
-    counters = partition_counters(out).withColumns(
-        {"stage": F.lit(stage), "run_id": F.lit(run_id)}
-    )
-    counters.write.mode("overwrite").parquet(os.path.join(stage_dir, "partitions"))
+    counters = _file_counters(data_dir)
+    with open(os.path.join(stage_dir, "partitions.json"), "w") as f:
+        json.dump({"stage": stage, "run_id": run_id, "partitions": counters}, f)
     with open(mf_path, "w") as f:
         json.dump(
-            {**want, "stage": stage, "run_id": run_id, "completed_at": time.time()},
+            {
+                **want,
+                "stage": stage,
+                "run_id": run_id,
+                "rows": sum(c["rows"] for c in counters),
+                "completed_at": time.time(),
+            },
             f,
         )
     return out, False

@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # dedup shuffles are byte-small but CPU-heavy downstream (verify
+        # UDFs, pair dedup): the default 1m floor lets AQE coalesce them to
+        # 1-2 tasks and serialize those stages — keep partitions fine-grained
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -126,15 +126,42 @@ def brute_simhash_pairs(pdf, k=7, n=2):
     return out
 
 
-def test_simhash_pigeonhole_exact(spark, corpus):
+def test_simhash_pigeonhole_exact_fnv(spark, corpus):
+    """fnv1a mode: signatures bit-match the pure-python reference fold."""
     pdf, df = corpus
     want = brute_simhash_pairs(pdf, k=7)
-    cfg = SimHashConfig(hamming_k=7)
+    cfg = SimHashConfig(hamming_k=7, hash_fn="fnv1a")
     assert cfg.exactness_holds()
     verified, drops = simhash_pairs(df, cfg)
     got = {(r["id1"], r["id2"]) for r in verified.collect()}
     assert drops.count() == 0
     assert got == want  # pigeonhole ⇒ EXACT, not approximate
+
+
+def test_simhash_pigeonhole_exact_xxhash(spark, corpus):
+    """xxhash64 (scale) mode: the band join finds exactly the ≤k pairs of
+    the signatures it computed (pigeonhole), and signatures are stable."""
+    pdf, df = corpus
+    cfg = SimHashConfig(hamming_k=7)
+    from outcite_duplicate_detecting_spark.operators.simhash import add_simhash
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in add_simhash(
+            df.select("doc_id", "text"), cfg
+        ).select("doc_id", "simhash").collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 7
+    }
+    verified, drops = simhash_pairs(df, cfg)
+    got = {(r["id1"], r["id2"]) for r in verified.collect()}
+    assert drops.count() == 0
+    assert got == want
 
 
 def brute_containment_pairs(pdf, min_len=50):
