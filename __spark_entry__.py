@@ -306,6 +306,101 @@ def q_incremental_newrows(spark, sf_dir):
     return incremental_new_rows(d, manifest, key="doc_id").select("doc_id", "source")
 
 
+def q_containment_join(spark, sf_dir):
+    """Poset set-containment join (SURVEY §2.3): word-set(A) ⊆ word-set(B)."""
+    from outcite_duplicate_detecting_spark.functions.text import words
+    from outcite_duplicate_detecting_spark.operators.containment import containment_pairs
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), words("text").alias("features")
+    )
+    return containment_pairs(d)
+
+
+def q_minimal_elements(spark, sf_dir):
+    """Min-el reduction (SURVEY §2.9): subsets that are nobody's superset."""
+    from outcite_duplicate_detecting_spark.functions.text import words
+    from outcite_duplicate_detecting_spark.operators.containment import (
+        containment_pairs,
+        minimal_elements,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), words("text").alias("features")
+    )
+    return minimal_elements(containment_pairs(d)).select(F.col("id").alias("doc_id"))
+
+
+def q_paired_years(spark, sf_dir):
+    """Reference year1/year2 encoding (B2_process_features.py:202-203)."""
+    from outcite_duplicate_detecting_spark.functions.textnorm import paired_years
+
+    ev = load_table(spark, sf_dir, "events")
+    y = F.year(F.col("ts").cast("timestamp_ltz"))
+    y1, y2 = paired_years(y)
+    return (
+        ev.select(
+            "event_id", y.cast("int").alias("year"), y1.alias("year1"), y2.alias("year2")
+        )
+    )
+
+
+def q_rep_id(spark, sf_dir):
+    """Canonicalized representation id (bundle + digest; the reference uses
+    SHA-1 — md5 here because the DuckDB oracle lacks sha1; same semantics)."""
+    from outcite_duplicate_detecting_spark.functions.textnorm import bundle
+
+    d = _docs(spark, sf_dir)
+    b = bundle(["lang", "source"])
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(b, "#+*", null_replacement="None")).alias("rep_id"),
+    )
+
+
+def q_spell_correct(spark, sf_dir):
+    """SymSpell-style token correction against a corpus-derived dictionary
+    (top-100 terms). Non-SQL-expressible (edit-distance index) → rows-only."""
+    from outcite_duplicate_detecting_spark.functions.spell import (
+        SymSpellIndex,
+        correct_tokens_udf,
+    )
+    from outcite_duplicate_detecting_spark.functions.text import words
+
+    d = _docs(spark, sf_dir)
+    top = (
+        d.select(F.explode(words("text")).alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(100)
+        .collect()
+    )
+    idx = SymSpellIndex({r["t"]: r["count"] for r in top}, max_edits=2)
+    return d.select(
+        "doc_id", correct_tokens_udf(idx)(words("text")).alias("corrected")
+    ).select("doc_id", F.size("corrected").alias("n_tokens"))
+
+
+def q_pairwise_verify(spark, sf_dir):
+    """Reference stage-3 rule classifier over within-cluster pairs
+    (difflib distances → rows-only check)."""
+    from outcite_duplicate_detecting_spark.operators.pairverify import (
+        PairRules,
+        verify_cluster_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    labels = q_connected_components(spark, sf_dir)
+    docs = d.join(labels, "doc_id").select(
+        "doc_id", F.col("component_id").alias("cluster_id"), "text"
+    )
+    multi = (
+        docs.groupBy("cluster_id").count().where(F.col("count") > 1).select("cluster_id")
+    )
+    return verify_cluster_pairs(docs.join(multi, "cluster_id"), PairRules())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_count": q_group_count,
@@ -333,6 +428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "multimodal_features": q_multimodal_features,
         "incremental_newrows": q_incremental_newrows,
+        "containment_join": q_containment_join,
+        "minimal_elements": q_minimal_elements,
+        "paired_years": q_paired_years,
+        "rep_id": q_rep_id,
+        "spell_correct": q_spell_correct,
+        "pairwise_verify": q_pairwise_verify,
     }
 
 
@@ -569,6 +670,47 @@ def oracle_sql() -> dict[str, str]:
         "incremental_newrows": """
             SELECT doc_id, source FROM documents WHERE doc_id % 3 != 0
         """,
-        # dedup_simhash, ann_lsh_cosine: signature-dependent candidate sets —
-        # not SQL-expressible; driver records rows-only checks.
+        "containment_join": f"""
+            WITH d AS (SELECT doc_id AS id, list_distinct({_WORDS}) AS fs FROM documents),
+            ex AS (SELECT id, len(fs) AS sz, unnest(fs) AS feat FROM d)
+            SELECT a.id AS sub_id, b.id AS sup_id
+            FROM ex a JOIN ex b ON a.feat = b.feat
+             AND a.id != b.id
+             AND (a.sz < b.sz OR (a.sz = b.sz AND a.id < b.id))
+            GROUP BY a.id, b.id, a.sz
+            HAVING count(*) = a.sz
+        """,
+        "minimal_elements": f"""
+            WITH d AS (SELECT doc_id AS id, list_distinct({_WORDS}) AS fs FROM documents),
+            ex AS (SELECT id, len(fs) AS sz, unnest(fs) AS feat FROM d),
+            pairs AS (
+              SELECT a.id AS sub_id, b.id AS sup_id
+              FROM ex a JOIN ex b ON a.feat = b.feat
+               AND a.id != b.id
+               AND (a.sz < b.sz OR (a.sz = b.sz AND a.id < b.id))
+              GROUP BY a.id, b.id, a.sz
+              HAVING count(*) = a.sz
+            )
+            SELECT DISTINCT sub_id AS doc_id FROM pairs
+            WHERE sub_id NOT IN (SELECT sup_id FROM pairs)
+        """,
+        "paired_years": """
+            SELECT event_id, year(ts)::INT AS year,
+                   concat(year(ts) - 1, year(ts))::BIGINT AS year1,
+                   concat(year(ts), year(ts) + 1)::BIGINT AS year2
+            FROM events
+        """,
+        "rep_id": """
+            WITH b AS (
+              SELECT doc_id,
+                     list_sort(list_filter([lang, source], x -> x IS NOT NULL))
+                     || list_transform(list_filter([lang, source], x -> x IS NULL), x -> 'None')
+                     AS bundled
+              FROM documents
+            )
+            SELECT doc_id, md5(array_to_string(bundled, '#+*')) AS rep_id FROM b
+        """,
+        # dedup_simhash, ann_lsh_cosine, spell_correct, pairwise_verify:
+        # signature/edit-distance/difflib-dependent — not SQL-expressible;
+        # the driver records rows-only checks for these.
     }

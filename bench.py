@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 HEADLINE = [
@@ -67,21 +67,37 @@ spark.stop()
 """
 
 
+_HEADLINE_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, "{repo}")
+import __spark_entry__ as entrymod
+from outcite_duplicate_detecting_spark.session import get_spark
+
+spark = get_spark(cores={cpus}, app_name="bench-headline")
+qs = entrymod.queries()
+timings = {{}}
+for name in {headline!r}:
+    t0 = time.time()
+    qs[name](spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+    timings[name] = round(time.time() - t0, 3)
+print("HEADLINE " + json.dumps(timings))
+"""
+
+
 def time_headline_queries() -> dict[str, float]:
-    from outcite_duplicate_detecting_spark.session import get_spark
-
-    import __spark_entry__ as entrymod
-
-    spark = get_spark(cores=CPUS, app_name="bench-headline")
-    qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    spark.stop()
-    return timings
+    # subprocess: pyspark keeps its gateway JVM alive until the python
+    # process exits, and a lingering JVM would pollute the scaling runs
+    repo = os.path.dirname(os.path.abspath(__file__))
+    snippet = _HEADLINE_SNIPPET.format(
+        repo=repo, cpus=CPUS, headline=HEADLINE, sf_dir=SF_DIR
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", snippet], capture_output=True, text=True, timeout=3600
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("HEADLINE ")]
+    if not lines:
+        raise RuntimeError(f"headline run failed:\n{proc.stderr[-2000:]}")
+    return json.loads(lines[-1][len("HEADLINE "):])
 
 
 def run_scaling() -> dict:
