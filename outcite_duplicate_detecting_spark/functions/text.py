@@ -72,6 +72,28 @@ def token_count(col: Column | str) -> Column:
     return F.size(words(col)).cast("long")
 
 
+# --- Python twins (used inside pandas UDFs) ---------------------------------
+# Exact same semantics as the Catalyst expressions above; detectors shingle
+# in-UDF from the raw text so that only the text column crosses Arrow.
+
+_WS_ASCII = __import__("re").compile(r"\s+", __import__("re").ASCII)
+
+
+def py_words(text: str) -> list[str]:
+    # ASCII \s to match Java's regex class used by the Catalyst twin
+    return [w for w in _WS_ASCII.split((text or "").lower()) if w]
+
+
+def py_word_shingles(text: str, n: int) -> list[str]:
+    w = py_words(text)
+    if not w:
+        return [""]
+    if len(w) <= n:
+        return [" ".join(w)]
+    seen = dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+    return list(seen)
+
+
 # --- DuckDB twins -----------------------------------------------------------
 # Each helper above has a SQL twin used to build oracle queries; keeping the
 # two side by side makes semantic drift visible in review.

@@ -34,8 +34,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import minhash_params, minhash_signature_batch, to_i64
-from ..functions.text import word_shingles
+from ..functions.hashing import (
+    fnv1a64_strings,
+    minhash_params,
+    minhash_signature,
+    minhash_signature_batch,
+    to_i64,
+)
+from ..functions.text import py_word_shingles, word_shingles
 from .joins import PairGenResult, band_candidate_pairs
 
 
@@ -48,6 +54,10 @@ class MinHashConfig:
     seed: int = 42
     max_bucket_size: int | None = 25000  # reference group guard, common.py:96
     salt: int | None = None
+    # "python": shingle + hash + sign entirely inside one Arrow-batched UDF
+    # (only the text column crosses Arrow) — the scale path.
+    # "catalyst": shingle/hash as JVM expressions, UDF folds hash arrays.
+    shingler: str = "python"
 
     @property
     def rows_per_band(self) -> int:
@@ -60,12 +70,37 @@ def add_signature(
 ) -> DataFrame:
     """Append shingle-hash set + MinHash signature (arrays of long).
 
-    The shingle *strings* never leave the projection: only their xxhash64
-    values are carried (array<long>) — ~5× lighter in executor memory than
-    string arrays, and exact-Jaccard verification on the hash sets equals
+    Shingle *strings* never cross a process boundary: in the default
+    python mode the UDF receives only the text (one string per row),
+    shingles it (exact twin of the Catalyst/DuckDB semantics), hashes each
+    shingle with vectorized FNV-1a 64, and emits (shingle_hashes, sig) in
+    one pass. Exact-Jaccard verification on the hash sets equals
     verification on the string sets up to 64-bit collisions (~1e-14 per
     pair at web shingle counts)."""
     a, b = minhash_params(cfg.num_perm, cfg.seed)
+    out_schema = T.StructType(
+        [
+            T.StructField("shingle_hashes", T.ArrayType(T.LongType())),
+            T.StructField(out_col, T.ArrayType(T.LongType())),
+        ]
+    )
+
+    if cfg.shingler == "python":
+        n = cfg.shingle_n
+
+        @F.pandas_udf(out_schema)
+        def sign_text(texts: pd.Series) -> pd.DataFrame:
+            hash_lists, sig_lists = [], []
+            for t in texts:
+                hashes = fnv1a64_strings(py_word_shingles(t, n))
+                hash_lists.append(to_i64(hashes).tolist())
+                sig_lists.append(to_i64(minhash_signature(hashes, a, b)).tolist())
+            return pd.DataFrame({"shingle_hashes": hash_lists, out_col: sig_lists})
+
+        packed = df.withColumn("_sig", sign_text(F.col(text_col)))
+        return packed.select(
+            "*", F.col("_sig.shingle_hashes").alias("shingle_hashes"), F.col(f"_sig.{out_col}").alias(out_col)
+        ).drop("_sig")
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(hashes: pd.Series) -> pd.Series:

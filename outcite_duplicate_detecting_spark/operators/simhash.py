@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import fnv1a64_strings
-from ..functions.text import char_ngrams, word_shingles
+from ..functions.hashing import fnv1a64_strings, simhash64
+from ..functions.text import char_ngrams, py_word_shingles, word_shingles
 from .joins import PairGenResult, band_candidate_pairs
 
 
@@ -52,12 +52,12 @@ class SimHashConfig:
     bits_per_band: int = 8  # 8 → 8 blocks (exact for k ≤ 7); 16 → 4 blocks (k ≤ 3)
     max_bucket_size: int | None = 25000
     salt: int | None = None
-    # "xxhash64": per-gram hashes computed JVM-side, only the bit-majority
-    # fold crosses into Python as array<long> — the scale path (shipping the
-    # gram *strings* through Arrow costs ~10× the fold itself).
-    # "fnv1a": gram strings hashed in-UDF with FNV-1a 64 — algorithmic
-    # parity with the reference's hash choice.
-    hash_fn: str = "xxhash64"
+    # "python": shingle + FNV-hash + fold entirely inside one UDF; only the
+    # text column crosses Arrow — the scale path, and FNV-1a matches the
+    # reference's hash choice (simhash_components_disk_v3.py:159-177).
+    # "catalyst-xxhash64": grams + hashes as JVM expressions, UDF folds longs.
+    # "catalyst-fnv1a": gram strings built JVM-side, hashed in-UDF.
+    hash_fn: str = "python"
 
     @property
     def bands(self) -> int:
@@ -69,23 +69,17 @@ class SimHashConfig:
 
 
 def _fold_hash_matrix(list_of_hash_arrays: list[np.ndarray]) -> np.ndarray:
-    """Batch bit-majority fold: unpackbits once, per-doc sums via reduceat."""
-    counts = np.fromiter(
-        (len(g) for g in list_of_hash_arrays), dtype=np.int64, count=len(list_of_hash_arrays)
-    )
-    if counts.sum() == 0:
-        return np.zeros(len(list_of_hash_arrays), dtype=np.uint64)
-    flat = np.concatenate(
-        [np.asarray(a, dtype=np.uint64) for a in list_of_hash_arrays if len(a)]
-    )
-    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    offsets = np.zeros(len(counts), dtype=np.int64)
-    np.cumsum(counts[:-1], out=offsets[1:])
-    safe_offsets = np.minimum(offsets, max(len(flat) - 1, 0))
-    sums = np.add.reduceat(bits, safe_offsets, axis=0)
-    maj = (sums * 2 > counts[:, None]).astype(np.uint8)
-    maj[counts == 0] = 0
-    return np.packbits(maj, axis=1, bitorder="little").view(np.uint64).reshape(-1)
+    """Per-doc bit-majority fold (simhash64 per row).
+
+    Deliberately NOT a whole-batch unpackbits+reduceat: reduceat on the
+    uint8 bit matrix silently wraps at 256 grams, and the 20MB-per-batch
+    bit matrix churns memory across 32 concurrent workers. The per-doc
+    fold is exact (int64 sums), allocates ~30KB at a time, and is plenty
+    fast (~60µs/doc)."""
+    out = np.empty(len(list_of_hash_arrays), dtype=np.uint64)
+    for i, a in enumerate(list_of_hash_arrays):
+        out[i] = simhash64(np.asarray(a, dtype=np.uint64))
+    return out
 
 
 def simhash_fold_udf(hash_fn: str = "xxhash64"):
@@ -126,11 +120,32 @@ def add_simhash(
     Char-gram mode kept for char-noise-dominated corpora — but note that on
     narrow-vocabulary text the char-gram *set* of unrelated documents
     largely coincides, which makes char-gram simhash collide at k=7."""
+    if cfg.hash_fn == "python":
+        n, feature = cfg.gram_n, cfg.feature
+
+        @F.pandas_udf(T.LongType())
+        def sign_text(texts: pd.Series) -> pd.Series:
+            arrays = []
+            for t in texts:
+                if feature == "word":
+                    grams = py_word_shingles(t, n)
+                else:
+                    low = (t or "").lower()
+                    grams = (
+                        list(dict.fromkeys(low[i : i + n] for i in range(len(low) - n + 1)))
+                        if len(low) > n
+                        else [low]
+                    )
+                arrays.append(fnv1a64_strings(grams))
+            return pd.Series(_fold_hash_matrix(arrays).view(np.int64))
+
+        return df.withColumn(out_col, sign_text(F.col(text_col)))
+
     if cfg.feature == "word":
         grams = word_shingles(text_col, cfg.gram_n)
     else:
         grams = char_ngrams(text_col, cfg.gram_n)
-    if cfg.hash_fn == "fnv1a":
+    if cfg.hash_fn == "catalyst-fnv1a":
         return df.withColumn(out_col, simhash_fold_udf("fnv1a")(grams))
     gram_hashes = F.transform(grams, lambda s: F.xxhash64(s))
     return df.withColumn(out_col, simhash_fold_udf("xxhash64")(gram_hashes))

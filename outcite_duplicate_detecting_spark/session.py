@@ -63,6 +63,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # aggressively reclaim dropped localCheckpoint/persist blocks: the
+        # default 30min periodic cleaner GC lets dead RDD blocks accumulate
+        # across pipeline stages, starving execution memory (measured as
+        # consecutive identical jobs degrading 10.2s → 77.9s)
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     if extra_conf:

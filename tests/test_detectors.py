@@ -127,10 +127,10 @@ def brute_simhash_pairs(pdf, k=7, n=2):
 
 
 def test_simhash_pigeonhole_exact_fnv(spark, corpus):
-    """fnv1a mode: signatures bit-match the pure-python reference fold."""
+    """default (python/FNV) mode: signatures bit-match the reference fold."""
     pdf, df = corpus
     want = brute_simhash_pairs(pdf, k=7)
-    cfg = SimHashConfig(hamming_k=7, hash_fn="fnv1a")
+    cfg = SimHashConfig(hamming_k=7)
     assert cfg.exactness_holds()
     verified, drops = simhash_pairs(df, cfg)
     got = {(r["id1"], r["id2"]) for r in verified.collect()}
@@ -139,10 +139,10 @@ def test_simhash_pigeonhole_exact_fnv(spark, corpus):
 
 
 def test_simhash_pigeonhole_exact_xxhash(spark, corpus):
-    """xxhash64 (scale) mode: the band join finds exactly the ≤k pairs of
+    """catalyst-xxhash64 mode: the band join finds exactly the ≤k pairs of
     the signatures it computed (pigeonhole), and signatures are stable."""
     pdf, df = corpus
-    cfg = SimHashConfig(hamming_k=7)
+    cfg = SimHashConfig(hamming_k=7, hash_fn="catalyst-xxhash64")
     from outcite_duplicate_detecting_spark.operators.simhash import add_simhash
 
     sigs = {
