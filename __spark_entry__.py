@@ -360,7 +360,9 @@ def q_rep_id(spark, sf_dir):
 
 def q_spell_correct(spark, sf_dir):
     """SymSpell-style token correction against a corpus-derived dictionary
-    (top-100 terms). Non-SQL-expressible (edit-distance index) → rows-only."""
+    (top-100 terms). Oracle: brute-force argmin-levenshtein in DuckDB —
+    symmetric-deletion retrieval is exact for Levenshtein ≤ cap, so the two
+    agree identically. Output counts corrected occurrences per doc."""
     from outcite_duplicate_detecting_spark.functions.spell import (
         SymSpellIndex,
         correct_tokens_udf,
@@ -377,9 +379,207 @@ def q_spell_correct(spark, sf_dir):
         .collect()
     )
     idx = SymSpellIndex({r["t"]: r["count"] for r in top}, max_edits=2)
+    toks = words("text").alias("a")
+    corrected = correct_tokens_udf(idx)(words("text")).alias("b")
+    zipped = F.arrays_zip(toks, corrected)
+    n_changed = F.size(F.filter(zipped, lambda s: s["a"] != s["b"]))
     return d.select(
-        "doc_id", correct_tokens_udf(idx)(words("text")).alias("corrected")
-    ).select("doc_id", F.size("corrected").alias("n_tokens"))
+        "doc_id",
+        F.size(words("text")).cast("long").alias("n_tokens"),
+        n_changed.cast("long").alias("n_corrected"),
+    )
+
+
+def q_canonical_merge(spark, sf_dir):
+    """Reference stage 4: one canonical record per multi-member cluster
+    (4_index_duplicates.py:188-254) — longest text wins, member list kept."""
+    from outcite_duplicate_detecting_spark.plans.writeback import (
+        build_duplicates_table,
+    )
+
+    d = _docs(spark, sf_dir)
+    labels = q_connected_components(spark, sf_dir)
+    assignments = labels.select("doc_id", F.col("component_id").alias("cluster_id"))
+    dups = build_duplicates_table(assignments, d.select("doc_id", "text"))
+    return dups.select(
+        "cluster_id",
+        "canonical_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.array_join(F.col("member_ids"), ",").alias("members"),
+    )
+
+
+def q_writeback_roundtrip(spark, sf_dir):
+    """Reference stage 5 writeback THROUGH the MERGE-upsert parquet sink:
+    canonical text replaces every duplicate member's text (original kept
+    as text_original), then the updates MERGE into a copy of the source
+    table and the result is read back (5_update_references.py:56-116 +
+    the streaming_bulk partial-update analogue)."""
+    import tempfile
+
+    from outcite_duplicate_detecting_spark.plans.writeback import (
+        build_duplicates_table,
+        merge_upsert_parquet,
+        writeback_canonical,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    labels = q_connected_components(spark, sf_dir)
+    assignments = labels.select("doc_id", F.col("component_id").alias("cluster_id"))
+    dups = build_duplicates_table(assignments, d)
+    wb = writeback_canonical(d, assignments, dups)
+    target = tempfile.mkdtemp(prefix="wb_roundtrip_") + "/docs"
+    # the target table carries the stage-5 bookkeeping columns up front
+    # (the reference's references index has them; MERGE fills them in)
+    d.select(
+        "doc_id",
+        "text",
+        F.lit(None).cast("string").alias("text_original"),
+        F.lit(None).cast("long").alias("duplicate_of"),
+        F.lit(False).alias("is_canonical"),
+    ).write.mode("overwrite").parquet(target)
+    updates = wb.select(
+        "doc_id", "text", "text_original", "duplicate_of", "is_canonical"
+    )
+    merge_upsert_parquet(spark, target, updates, key_cols=["doc_id"])
+    out = spark.read.parquet(target)
+    return out.select(
+        "doc_id",
+        "text",
+        "text_original",
+        "duplicate_of",
+        F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+    )
+
+
+def q_canonical_fields(spark, sf_dir):
+    """NULL-wildcard majority vote (reference majority_vote,
+    4_index_duplicates.py:122-133): winning (lang, bucket) tuple per source
+    group, where bucket is NULL for some rows to exercise the wildcard."""
+    from outcite_duplicate_detecting_spark.operators.canonicalize import (
+        majority_vote_wildcard,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("source").alias("cluster_id"),
+        F.col("lang").alias("f_lang"),
+        F.when(F.pmod("n_chars", F.lit(7)) >= 2, F.pmod("n_chars", F.lit(3)).cast("string")).alias(
+            "f_bucket"
+        ),
+    )
+    return majority_vote_wildcard(d, "cluster_id", ["f_lang", "f_bucket"]).select(
+        "cluster_id",
+        "f_lang",
+        "f_bucket",
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+def q_generalize_expand(spark, sf_dir):
+    """Generalization-lattice fan-out (generalize_representations.py:101-115)
+    with a 2-ftype scheme: every (lang, source) row expands to its two
+    1-field generalizations."""
+    from outcite_duplicate_detecting_spark.operators.generalize import (
+        GeneralizationScheme,
+        generalize_expand,
+    )
+
+    scheme = GeneralizationScheme(
+        groups={"lang": ["lang"], "src": ["source"]},
+        rules={(1, 1): [(1, 0), (0, 1)]},
+        restrictions=[["lang", "source"]],
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return generalize_expand(d, scheme, id_col="doc_id")
+
+
+def q_specify_surrogates(spark, sf_dir):
+    """Surrogate-key specification (specify_mentions.py:15-23): rows whose
+    restriction columns are all NULL get their own id as the feature."""
+    from outcite_duplicate_detecting_spark.operators.generalize import (
+        specify_surrogates,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.nullif("lang", F.lit("en")).alias("f1")
+    )
+    return specify_surrogates(d, [["f1"]], id_col="doc_id")
+
+
+def _wordset_containment(spark, sf_dir):
+    from outcite_duplicate_detecting_spark.functions.text import words
+    from outcite_duplicate_detecting_spark.operators.containment import (
+        containment_pairs,
+        minel_superset_edges,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), words("text").alias("features")
+    )
+    pairs = containment_pairs(d)
+    return d, minel_superset_edges(pairs)
+
+
+def q_minel_stats(spark, sf_dir):
+    """Min-el fan-in diagnostics (find_components_disk.py:224-250)."""
+    from outcite_duplicate_detecting_spark.operators.containment import (
+        minel_fanin_stats,
+    )
+
+    _, edges = _wordset_containment(spark, sf_dir)
+    return minel_fanin_stats(edges)
+
+
+def q_lattice_recall(spark, sf_dir):
+    """Micro/macro lattice reachability recall
+    (evaluate_minels_v3.py:158-200), gold = source."""
+    from outcite_duplicate_detecting_spark.operators.containment import (
+        lattice_pair_recall,
+        minimal_elements,
+    )
+    from outcite_duplicate_detecting_spark.functions.text import words
+    from outcite_duplicate_detecting_spark.operators.containment import (
+        containment_pairs,
+        minel_superset_edges,
+    )
+
+    d = _docs(spark, sf_dir)
+    feats = d.select(F.col("doc_id").alias("id"), words("text").alias("features"))
+    pairs = containment_pairs(feats)
+    edges = minel_superset_edges(pairs)
+    minels = minimal_elements(pairs)
+    nodes = minels.join(
+        d.select(F.col("doc_id").alias("id"), F.col("source").alias("gold")), "id"
+    )
+    return lattice_pair_recall(edges, nodes)
+
+
+def q_gold_labels(spark, sf_dir):
+    """Gold-link bipartite join → goldID (B3_add_goldID.py:38-74); the
+    synthetic target id is the source collection, so gold groups equal
+    source groups — output maps each doc to its group's min doc_id."""
+    from outcite_duplicate_detecting_spark.operators.goldlinks import gold_labels
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    lab = gold_labels(d, "doc_id", ["source"])
+    reps = lab.groupBy("gold_id").agg(F.min("doc_id").alias("gold_rep"))
+    return lab.join(reps, "gold_id").select("doc_id", "gold_rep")
+
+
+def q_chargrams(spark, sf_dir):
+    """Per-word ascii-context char-4-grams (B2_process_features.py:134-142),
+    non-distinct, short words contribute nothing."""
+    from outcite_duplicate_detecting_spark.functions.wordnorm import (
+        chargrams_per_word,
+    )
+
+    d = _docs(spark, sf_dir)
+    g = chargrams_per_word(F.col("text"), n=4)
+    return d.select(
+        "doc_id",
+        F.size(g).cast("long").alias("n_grams"),
+        F.element_at(g, 1).alias("first_gram"),
+    )
 
 
 def q_pairwise_verify(spark, sf_dir):
@@ -434,6 +634,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_id": q_rep_id,
         "spell_correct": q_spell_correct,
         "pairwise_verify": q_pairwise_verify,
+        "canonical_merge": q_canonical_merge,
+        "writeback_roundtrip": q_writeback_roundtrip,
+        "canonical_fields": q_canonical_fields,
+        "generalize_expand": q_generalize_expand,
+        "specify_surrogates": q_specify_surrogates,
+        "minel_stats": q_minel_stats,
+        "lattice_recall": q_lattice_recall,
+        "gold_labels": q_gold_labels,
+        "chargrams": q_chargrams,
     }
 
 
@@ -710,7 +919,231 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, md5(array_to_string(bundled, '#+*')) AS rep_id FROM b
         """,
-        # dedup_simhash, ann_lsh_cosine, spell_correct, pairwise_verify:
-        # signature/edit-distance/difflib-dependent — not SQL-expressible;
-        # the driver records rows-only checks for these.
+        "spell_correct": """
+            WITH toks AS (
+              SELECT doc_id, unnest({words}) AS tok FROM documents
+            ),
+            dict AS (
+              SELECT tok AS term, count(*) AS freq FROM toks
+              GROUP BY tok ORDER BY freq DESC, term LIMIT 100
+            ),
+            distinct_toks AS (SELECT DISTINCT tok FROM toks),
+            unknown AS (
+              SELECT tok, least(2, greatest(1, (0.2 * length(tok))::INT)) AS cap
+              FROM distinct_toks WHERE tok NOT IN (SELECT term FROM dict)
+            ),
+            cand AS (
+              SELECT u.tok, d.term, levenshtein(u.tok, d.term) AS dist, d.freq
+              FROM unknown u CROSS JOIN dict d
+              WHERE levenshtein(u.tok, d.term) <= u.cap
+            ),
+            best AS (
+              SELECT tok, term FROM (
+                SELECT tok, term,
+                       row_number() OVER (PARTITION BY tok
+                         ORDER BY dist, freq DESC, term) AS rn
+                FROM cand) t WHERE rn = 1
+            ),
+            corrected AS (
+              SELECT t.doc_id, t.tok,
+                     coalesce(b.term, t.tok) AS fixed
+              FROM toks t LEFT JOIN best b ON t.tok = b.tok
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN tok != fixed THEN 1 ELSE 0 END)::BIGINT AS n_corrected
+            FROM corrected GROUP BY doc_id
+        """.format(words=_WORDS),
+        "canonical_merge": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+            edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            labels AS (
+              SELECT d.doc_id, d.text,
+                     least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+              FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id, d.text
+            ),
+            multi AS (
+              SELECT cluster_id FROM labels GROUP BY cluster_id HAVING count(*) > 1
+            ),
+            ranked AS (
+              SELECT l.cluster_id, l.doc_id, l.text,
+                     row_number() OVER (PARTITION BY l.cluster_id
+                       ORDER BY length(l.text) DESC, l.doc_id) AS rn
+              FROM labels l JOIN multi m ON l.cluster_id = m.cluster_id
+            )
+            SELECT r.cluster_id,
+                   max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS canonical_id,
+                   count(*)::BIGINT AS n_members,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+            FROM ranked r GROUP BY r.cluster_id
+        """,
+        "writeback_roundtrip": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+            edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            labels AS (
+              SELECT d.doc_id, d.text,
+                     least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+              FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id, d.text
+            ),
+            sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id),
+            canon AS (
+              SELECT cluster_id, doc_id AS canonical_id, text AS canon_text FROM (
+                SELECT l.*, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY length(text) DESC, doc_id) AS rn FROM labels l) t
+              WHERE rn = 1
+            )
+            SELECT l.doc_id,
+                   CASE WHEN s.n > 1 THEN c.canon_text ELSE l.text END AS text,
+                   CASE WHEN s.n > 1 THEN l.text END AS text_original,
+                   CASE WHEN s.n > 1 THEN c.canonical_id END::BIGINT AS duplicate_of,
+                   coalesce(s.n > 1 AND c.canonical_id = l.doc_id, FALSE) AS is_canonical
+            FROM labels l
+            JOIN sizes s ON l.cluster_id = s.cluster_id
+            JOIN canon c ON l.cluster_id = c.cluster_id
+        """,
+        "canonical_fields": """
+            WITH base AS (
+              SELECT source AS cluster_id, lang AS f_lang,
+                     CASE WHEN n_chars % 7 >= 2 THEN (n_chars % 3)::VARCHAR END AS f_bucket
+              FROM documents
+            ),
+            vals AS (
+              SELECT cluster_id, f_lang, f_bucket, count(*) AS freq
+              FROM base GROUP BY 1, 2, 3
+            ),
+            supp AS (
+              SELECT c.cluster_id, c.f_lang, c.f_bucket, sum(s.freq) AS support
+              FROM vals c JOIN vals s ON s.cluster_id = c.cluster_id
+               AND (s.f_lang IS NULL OR s.f_lang = c.f_lang)
+               AND (s.f_bucket IS NULL OR s.f_bucket = c.f_bucket)
+              GROUP BY 1, 2, 3
+            )
+            SELECT cluster_id, f_lang, f_bucket, support::BIGINT AS support FROM (
+              SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY
+                support DESC,
+                (CASE WHEN f_lang IS NULL THEN 1 ELSE 0 END
+               + CASE WHEN f_bucket IS NULL THEN 1 ELSE 0 END),
+                (f_lang IS NULL), f_lang, (f_bucket IS NULL), f_bucket) AS rn
+              FROM supp) t
+            WHERE rn = 1
+        """,
+        "generalize_expand": """
+            SELECT doc_id, lang, NULL AS source FROM documents
+            UNION ALL
+            SELECT doc_id, NULL AS lang, source FROM documents
+        """,
+        "specify_surrogates": """
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN doc_id::VARCHAR ELSE lang END AS f1
+            FROM documents
+        """,
+        "minel_stats": f"""
+            WITH d AS (SELECT doc_id AS id, list_distinct({_WORDS}) AS fs FROM documents),
+            ex AS (SELECT id, len(fs) AS sz, unnest(fs) AS feat FROM d),
+            pairs AS (
+              SELECT a.id AS sub_id, b.id AS sup_id
+              FROM ex a JOIN ex b ON a.feat = b.feat
+               AND a.id != b.id
+               AND (a.sz < b.sz OR (a.sz = b.sz AND a.id < b.id))
+              GROUP BY a.id, b.id, a.sz
+              HAVING count(*) = a.sz
+            ),
+            minels AS (
+              SELECT DISTINCT sub_id FROM pairs
+              WHERE sub_id NOT IN (SELECT sup_id FROM pairs)
+            ),
+            edges AS (
+              SELECT p.sub_id AS src, p.sup_id AS dst FROM pairs p
+              JOIN minels m ON p.sub_id = m.sub_id
+            ),
+            fanin AS (SELECT dst, count(*) AS fan_in FROM edges GROUP BY dst)
+            SELECT e.src AS minel_id,
+                   count(*)::BIGINT AS num_any,
+                   sum(CASE WHEN f.fan_in > 1 THEN 1 ELSE 0 END)::BIGINT AS num_multi,
+                   sum(CASE WHEN f.fan_in = 1 THEN 1 ELSE 0 END)::BIGINT AS num_single,
+                   (CASE WHEN count(*) > 0
+                    THEN (sum(CASE WHEN f.fan_in > 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+                    ELSE 0 END)::BIGINT AS prob_multi_ppm
+            FROM edges e JOIN fanin f ON e.dst = f.dst
+            GROUP BY e.src
+        """,
+        "lattice_recall": f"""
+            WITH d AS (SELECT doc_id AS id, list_distinct({_WORDS}) AS fs FROM documents),
+            ex AS (SELECT id, len(fs) AS sz, unnest(fs) AS feat FROM d),
+            pairs AS (
+              SELECT a.id AS sub_id, b.id AS sup_id
+              FROM ex a JOIN ex b ON a.feat = b.feat
+               AND a.id != b.id
+               AND (a.sz < b.sz OR (a.sz = b.sz AND a.id < b.id))
+              GROUP BY a.id, b.id, a.sz
+              HAVING count(*) = a.sz
+            ),
+            minels AS (
+              SELECT DISTINCT sub_id AS id FROM pairs
+              WHERE sub_id NOT IN (SELECT sup_id FROM pairs)
+            ),
+            nodes AS (
+              SELECT m.id, doc.source AS gold, 1 AS freq
+              FROM minels m JOIN documents doc ON doc.doc_id = m.id
+            ),
+            edges AS (
+              SELECT p.sub_id AS src, p.sup_id AS dst FROM pairs p
+              JOIN minels m ON p.sub_id = m.id
+              UNION
+              SELECT id, id FROM nodes
+            ),
+            reached AS (
+              SELECT DISTINCT a.src AS m1, b.src AS m2
+              FROM edges a JOIN edges b ON a.dst = b.dst
+            ),
+            paired AS (
+              SELECT n1.gold, n1.freq AS f1, n2.freq AS f2
+              FROM reached r
+              JOIN nodes n1 ON r.m1 = n1.id
+              JOIN nodes n2 ON r.m2 = n2.id AND n1.gold = n2.gold
+            ),
+            tp_g AS (SELECT gold, sum(f1 * f2) AS tp FROM paired GROUP BY gold),
+            t_g AS (SELECT gold, sum(freq) * sum(freq) AS t FROM nodes GROUP BY gold),
+            per_gold AS (
+              SELECT t_g.gold, coalesce(tp_g.tp, 0) AS tp, t_g.t,
+                     (CASE WHEN t_g.t > 0
+                      THEN (coalesce(tp_g.tp, 0) * 1000000) // t_g.t ELSE 0 END) AS recall_ppm
+              FROM t_g LEFT JOIN tp_g ON t_g.gold = tp_g.gold
+            )
+            SELECT sum(tp)::BIGINT AS tp, sum(t)::BIGINT AS t,
+                   (CASE WHEN sum(t) > 0 THEN (sum(tp) * 1000000) // sum(t) ELSE 0 END)::BIGINT AS micro_recall_ppm,
+                   (sum(recall_ppm) // count(*))::BIGINT AS macro_recall_ppm,
+                   count(*)::BIGINT AS n_groups
+            FROM per_gold
+        """,
+        "gold_labels": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY source)::BIGINT AS gold_rep
+            FROM documents
+        """,
+        "chargrams": """
+            WITH g AS (
+              SELECT doc_id,
+                     flatten(list_transform(
+                       string_split(replace(lower(text), ' ', '_'), '_'),
+                       w -> CASE WHEN length(w) >= 4
+                            THEN list_transform(range(1, length(w) - 2),
+                                                i -> substring(w, i, 4))
+                            ELSE [] END)) AS grams
+              FROM documents
+            )
+            SELECT doc_id, len(grams)::BIGINT AS n_grams, grams[1] AS first_gram
+            FROM g
+        """,
+        # dedup_simhash, ann_lsh_cosine, pairwise_verify:
+        # signature/difflib-dependent — not SQL-expressible; the driver
+        # records rows-only checks (each is pytest-oracled in tests/).
     }

@@ -61,9 +61,16 @@ def score_pairs(
     scorer: LogisticPairScorer | None = None,
     inter_col: str = "inter_size",
     union_col: str = "union_size",
+    s1_col: str | None = None,
+    s2_col: str | None = None,
 ) -> DataFrame:
     """Score verified pairs carrying (inter_size, union_size): adds
-    score_ppm (long, floor(score·1e6)) and is_equivalent."""
+    score_ppm (long, floor(score·1e6)) and is_equivalent.
+
+    jaccard/dice derive from (inter, union) alone; overlap/cosine need the
+    per-side set sizes — pass ``s1_col``/``s2_col`` (or have ``sz1``/``sz2``
+    columns present) to enable them. A scorer weighting an unavailable
+    kernel raises ValueError up front instead of a KeyError mid-plan."""
     scorer = scorer or LogisticPairScorer()
     inter = F.col(inter_col).cast("double")
     union = F.col(union_col).cast("double")
@@ -72,6 +79,20 @@ def score_pairs(
         "jaccard": inter / union,
         "dice": (inter * 2) / s1_plus_s2,
     }
+    cols = set(pairs.columns)
+    s1_col = s1_col or ("sz1" if "sz1" in cols else None)
+    s2_col = s2_col or ("sz2" if "sz2" in cols else None)
+    if s1_col and s2_col:
+        s1 = F.col(s1_col).cast("double")
+        s2 = F.col(s2_col).cast("double")
+        sims["overlap"] = inter / F.least(s1, s2)
+        sims["cosine"] = inter / F.sqrt(s1 * s2)
+    missing = set(scorer.weights) - set(sims)
+    if missing:
+        raise ValueError(
+            f"scorer weights {sorted(missing)} need per-side set sizes: "
+            f"pass s1_col/s2_col (available kernels: {sorted(sims)})"
+        )
     available = {k: v for k, v in sims.items() if k in scorer.weights}
     score = scorer.score(available)
     return pairs.withColumns(

@@ -19,6 +19,12 @@ Each round is two shuffles (groupBy min + join); ``localCheckpoint``
 truncates lineage per round so plans stay flat. Convergence = edge-set
 fixpoint, detected with a cheap order-insensitive digest
 (count + sum of per-edge hashes) instead of a full set comparison.
+
+Driver-barrier budget: exactly ONE job per round. The round's
+``localCheckpoint`` is lazy (eager=False) and the digest aggregation is
+the action that materializes it — checkpoint and convergence check share
+a single job instead of running back-to-back (the serialized per-round
+driver time is what caps N→4N scaling on small graphs).
 """
 
 from __future__ import annotations
@@ -97,10 +103,11 @@ def connected_components(
     ``nodes`` (optional, one column ``id_col``) adds isolated vertices,
     which label themselves.
     """
-    e = _normalize(edges, src, dst).localCheckpoint()
+    # lazy checkpoint + digest-as-materializer: one job per round
+    e = _normalize(edges, src, dst).localCheckpoint(eager=False)
     prev = _digest(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _digest(e2)
         e = e2
         if cur == prev:

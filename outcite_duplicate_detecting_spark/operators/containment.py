@@ -77,3 +77,117 @@ def minel_superset_edges(pairs: DataFrame) -> DataFrame:
         pairs.join(minels.withColumnRenamed("id", "sub_id"), "sub_id")
         .select(F.col("sub_id").alias("src"), F.col("sup_id").alias("dst"))
     )
+
+
+def minel_fanin_stats(minel_edges: DataFrame) -> DataFrame:
+    """The reference's min-el fan-in diagnostics
+    (/root/reference/code/blocking/code/find_components_disk.py:224-250).
+
+    Input: (src, dst) = minel → superset edges. Per superset,
+    fan_in = number of minels pointing at it (``num_minels``). Per minel:
+    - num_any    = # of its supersets with fan_in > 0 (all of them),
+    - num_multi  = # with fan_in > 1 (reached by another minel too),
+    - num_single = # with fan_in == 1 (exclusively its own),
+    - prob_multi_ppm = num_multi / num_any in integer ppm.
+
+    Pure groupBy + join-back aggregation — the Counter loops of the
+    reference collapse into two shuffles."""
+    fanin = minel_edges.groupBy("dst").agg(F.count("*").alias("fan_in"))
+    joined = minel_edges.join(fanin, "dst")
+    per_minel = joined.groupBy("src").agg(
+        F.count("*").alias("num_any"),
+        F.sum(F.when(F.col("fan_in") > 1, 1).otherwise(0)).alias("num_multi"),
+        F.sum(F.when(F.col("fan_in") == 1, 1).otherwise(0)).alias("num_single"),
+    )
+    return per_minel.select(
+        F.col("src").alias("minel_id"),
+        F.col("num_any").cast("long").alias("num_any"),
+        F.col("num_multi").cast("long").alias("num_multi"),
+        F.col("num_single").cast("long").alias("num_single"),
+        F.when(
+            F.col("num_any") > 0,
+            (F.col("num_multi") * 1_000_000).cast("long") / F.col("num_any"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("prob_multi_ppm"),
+    )
+
+
+def lattice_pair_recall(
+    minel_edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    gold_col: str = "gold",
+    freq_col: str | None = None,
+) -> DataFrame:
+    """Micro/macro reachability recall over the min-el lattice
+    (/root/reference/code/blocking/code/evaluate_minels_v3.py:158-200).
+
+    Two minels are *reached* when they share a superset (the reference's
+    sub2sup.T·sub2sup product). Per gold group g with member minels m_i of
+    frequency f_i:  TP_g = Σ_{(i,j) reached} f_i·f_j  (self-pairs count —
+    every minel shares a superset with itself through its own closure),
+    T_g = (Σ f_i)², recall_g = TP_g/T_g. Output one row:
+    (tp, t, micro_recall_ppm, macro_recall_ppm, n_groups).
+
+    Relational form: reached pairs = self-join of (minel, superset) edges
+    (plus the reflexive pair) on the superset, then one groupBy(gold).
+    """
+    freq = F.col(freq_col) if freq_col else F.lit(1)
+    base = nodes.select(
+        F.col(id_col).alias("id"),
+        F.col(gold_col).alias("gold"),
+        freq.cast("long").alias("freq"),
+    )
+    # reflexive closure: every minel reaches itself
+    edges = minel_edges.select("src", "dst").unionByName(
+        base.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).distinct()
+    a = edges.select(F.col("src").alias("m1"), "dst")
+    b = edges.select(F.col("src").alias("m2"), "dst")
+    reached = a.join(b, "dst").select("m1", "m2").distinct()
+    paired = (
+        reached.join(base.select(F.col("id").alias("m1"), F.col("gold"), F.col("freq").alias("f1")), "m1")
+        .join(
+            base.select(
+                F.col("id").alias("m2"),
+                F.col("gold").alias("gold2"),
+                F.col("freq").alias("f2"),
+            ),
+            "m2",
+        )
+        .where(F.col("gold") == F.col("gold2"))
+    )
+    tp_per_gold = paired.groupBy("gold").agg(
+        F.sum(F.col("f1") * F.col("f2")).alias("tp")
+    )
+    t_per_gold = base.groupBy("gold").agg(
+        (F.sum("freq") * F.sum("freq")).alias("t")
+    )
+    per_gold = t_per_gold.join(tp_per_gold, "gold", "left").select(
+        "gold",
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+        "t",
+        # per-group recall in integer ppm (floor) so micro/macro are exact
+        # integer arithmetic on both engines — no float wobble
+        F.when(
+            F.col("t") > 0,
+            F.floor(F.coalesce("tp", F.lit(0)) * 1_000_000 / F.col("t")),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+    return per_gold.agg(
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("t").cast("long").alias("t"),
+        F.when(F.sum("t") > 0, F.floor(F.sum("tp") * 1_000_000 / F.sum("t")))
+        .otherwise(0)
+        .cast("long")
+        .alias("micro_recall_ppm"),
+        F.floor(F.sum("recall_ppm") / F.count("*"))
+        .cast("long")
+        .alias("macro_recall_ppm"),
+        F.count("*").cast("long").alias("n_groups"),
+    )

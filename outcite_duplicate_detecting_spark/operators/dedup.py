@@ -89,12 +89,56 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 25000,
 ) -> DataFrame:
     """(id1, id2, inter_size, union_size) for all pairs with exact
-    word-n-shingle Jaccard ≥ threshold; id1 < id2."""
+    word-n-shingle Jaccard ≥ threshold; id1 < id2. See
+    ``jaccard_pairs_with_drops`` for the hot-shingle guard semantics."""
+    pairs, _drops = jaccard_pairs_with_drops(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    return pairs
+
+
+def jaccard_pairs_with_drops(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 25000,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, dropped_shingles).
+
+    ``max_bucket_size`` is the reference's 25000-doc group guard
+    (code/common.py:96) applied to the shingle inverted index: a shingle
+    shared by more docs than the cap (a stop-phrase) is excluded from pair
+    generation and accounted for in ``dropped_shingles`` (shingle,
+    bucket_size) — never silently. The guard is conservative: per-doc set
+    sizes keep counting dropped shingles, so a surviving pair's Jaccard is
+    under-, never over-stated (precision preserved; recall loss = pairs
+    whose overlap rode only on dropped shingles, bounded by the drops
+    table). With no bucket over the cap the output is exactly the uncapped
+    all-pairs result.
+    """
     sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
     sized = sh.select("id", "sh", F.size("sh").alias("sz"))
-    ex = sized.select("id", "sz", F.explode("sh").alias("shingle"))
+    # lazy checkpoint: the exploded shingle table feeds the bucket-size agg,
+    # the cap anti-join, and both self-join sides — without it each consumer
+    # re-shingles the corpus (4× the scan + arrays_zip work)
+    ex = sized.select("id", "sz", F.explode("sh").alias("shingle")).localCheckpoint(
+        eager=False
+    )
+    if max_bucket_size is not None:
+        bucket_sizes = ex.groupBy("shingle").agg(F.count("*").alias("bucket_size"))
+        drops = bucket_sizes.where(F.col("bucket_size") > max_bucket_size)
+        # the cap only ever matches a handful of stop-shingles → broadcastable
+        ex = ex.join(F.broadcast(drops.select("shingle")), "shingle", "left_anti")
+    else:
+        drops = (
+            ex.select("shingle").limit(0).withColumn("bucket_size", F.lit(0).cast("long"))
+        )
     a = ex.select(
         F.col("shingle"), F.col("id").alias("id1"), F.col("sz").alias("sz1")
     )
@@ -107,7 +151,7 @@ def jaccard_pairs(
         .groupBy("id1", "id2", "sz1", "sz2")
         .agg(F.count("*").alias("inter_size"))
     )
-    return (
+    pairs = (
         inter.where(
             jaccard_condition(F.col("inter_size"), F.col("sz1"), F.col("sz2"), threshold)
         )
@@ -118,3 +162,4 @@ def jaccard_pairs(
             (F.col("sz1") + F.col("sz2") - F.col("inter_size")).cast("long").alias("union_size"),
         )
     )
+    return pairs, drops

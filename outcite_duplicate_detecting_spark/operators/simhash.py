@@ -207,13 +207,20 @@ def simhash_pairs(
         max_bucket_size=cfg.max_bucket_size,
         salt=cfg.salt,
     )
-    s1 = signed.select(F.col("id").alias("id1"), F.col("simhash").alias("sig1"))
-    s2 = signed.select(F.col("id").alias("id2"), F.col("simhash").alias("sig2"))
-    verified = (
-        cands.pairs.join(s1, "id1")
+    return hamming_verify(cands.pairs, signed, cfg), cands.drops
+
+
+def hamming_verify(
+    pairs: DataFrame, signed: DataFrame, cfg: SimHashConfig, sig_col: str = "simhash"
+) -> DataFrame:
+    """popcount(xor) ≤ k verification of candidate pairs against
+    (id, simhash) signatures."""
+    s1 = signed.select(F.col("id").alias("id1"), F.col(sig_col).alias("sig1"))
+    s2 = signed.select(F.col("id").alias("id2"), F.col(sig_col).alias("sig2"))
+    return (
+        pairs.join(s1, "id1")
         .join(s2, "id2")
         .withColumn("hamming_dist", hamming(F.col("sig1"), F.col("sig2")).cast("int"))
         .where(F.col("hamming_dist") <= cfg.hamming_k)
         .select("id1", "id2", "hamming_dist")
     )
-    return verified, cands.drops

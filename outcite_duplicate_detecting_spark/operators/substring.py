@@ -44,7 +44,10 @@ class SubstringConfig:
     min_len: int = 50  # chars; containment pairs below this are out of scope
     k: int = 25  # gram length (bytes)
     w: int = 26  # winnow window ⇒ guarantee threshold t = w + k - 1 = 50
-    max_fingerprint_df: int | None = None  # cap on docs sharing a fingerprint
+    # cap on docs sharing a fingerprint — same default as the reference's
+    # 25000-doc group guard (code/common.py:96) and the other detectors;
+    # a ubiquitous boilerplate fingerprint must never go quadratic silently
+    max_fingerprint_df: int | None = 25000
     salt: int | None = None
 
     @property
@@ -83,21 +86,47 @@ def substring_pairs(
     """
     cfg = cfg or SubstringConfig()
     assert cfg.min_len >= cfg.guarantee_t, "winnowing guarantee requires min_len >= w+k-1"
-    # eager materialization: texts feed fingerprinting AND both verify sides
+    # eager materialization: texts feed fingerprinting AND both verify sides.
+    # NULL text → '' so verification's `x in y` never sees None (the
+    # fingerprint UDF already maps None → '').
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+        )
         .localCheckpoint(eager=True)
     )
-    fps = add_fingerprints(base, cfg).select(
-        "id", F.explode("fingerprints").alias("fp")
+    # eager checkpoint: the band join consumes the postings up to 4× (bucket
+    # sizes, the cap anti-join, both self-join sides). Uncheckpointed, each
+    # consumer re-runs the winnowing UDF over the corpus — measured as the
+    # single hottest plan in the pipeline (fingerprint subtree ~8× in one
+    # stage write). Postings are (id, long) — tiny relative to the texts.
+    fps = (
+        add_fingerprints(base, cfg)
+        .select("id", F.explode("fingerprints").alias("fp"))
+        .localCheckpoint(eager=True)
     )
     cands = band_candidate_pairs(
         fps, key_cols=["fp"], id_col="id",
         max_bucket_size=cfg.max_fingerprint_df, salt=cfg.salt,
     )
+    return containment_verify(cands.pairs, base, cfg.min_len), cands.drops
+
+
+def containment_verify(
+    pairs: DataFrame, base: DataFrame, min_len: int
+) -> DataFrame:
+    """Containment verification of candidate pairs.
+
+    ``pairs``: (id1, id2); ``base``: (id, text) with non-null text. Output
+    (inner_id, outer_id) distinct, inner.text ⊆ outer.text and
+    length(inner) ≥ min_len. Single pass: the contain UDF runs once per
+    candidate and both directions are emitted from one evaluation (a
+    where/union pair would re-run the candidate join and the UDF per
+    branch)."""
     t1 = base.select(F.col("id").alias("id1"), F.col("text").alias("t1"))
     t2 = base.select(F.col("id").alias("id2"), F.col("text").alias("t2"))
-    paired = cands.pairs.join(t1, "id1").join(t2, "id2")
+    paired = pairs.join(t1, "id1").join(t2, "id2")
 
     @F.pandas_udf(T.IntegerType())
     def contain(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -109,11 +138,28 @@ def substring_pairs(
         return pd.Series(out, dtype="int32")
 
     flagged = paired.withColumn("c", contain(F.col("t1"), F.col("t2")))
-    min_len = cfg.min_len
-    a_in_b = flagged.where(
-        (F.col("c").bitwiseAND(F.lit(1)) > 0) & (F.length("t1") >= min_len)
-    ).select(F.col("id1").alias("inner_id"), F.col("id2").alias("outer_id"))
-    b_in_a = flagged.where(
-        (F.col("c").bitwiseAND(F.lit(2)) > 0) & (F.length("t2") >= min_len)
-    ).select(F.col("id2").alias("inner_id"), F.col("id1").alias("outer_id"))
-    return a_in_b.unionByName(b_in_a).distinct(), cands.drops
+    directed = flagged.select(
+        F.explode(
+            F.array(
+                F.when(
+                    (F.col("c").bitwiseAND(F.lit(1)) > 0)
+                    & (F.length("t1") >= min_len),
+                    F.struct(
+                        F.col("id1").alias("inner_id"), F.col("id2").alias("outer_id")
+                    ),
+                ),
+                F.when(
+                    (F.col("c").bitwiseAND(F.lit(2)) > 0)
+                    & (F.length("t2") >= min_len),
+                    F.struct(
+                        F.col("id2").alias("inner_id"), F.col("id1").alias("outer_id")
+                    ),
+                ),
+            )
+        ).alias("p")
+    )
+    return (
+        directed.where(F.col("p").isNotNull())
+        .select("p.inner_id", "p.outer_id")
+        .distinct()
+    )

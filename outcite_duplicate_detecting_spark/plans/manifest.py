@@ -91,8 +91,11 @@ def run_stage(
         if have.get("input") == want["input"] and have.get("config") == want["config"]:
             return spark.read.parquet(data_dir), True
 
+    t0 = time.time()
     df = compute()
     df.write.mode("overwrite").parquet(data_dir)
+    if os.environ.get("SPARK_GRAFT_STAGE_TIMING"):
+        print(f"STAGE_TIMING {stage} {time.time() - t0:.2f}s", flush=True)
     # drop operator-internal localCheckpoint blocks promptly: the stage's
     # parquet checkpoint supersedes them, and accumulated RDD blocks
     # (shingle/signature arrays) otherwise pressure the executor heap

@@ -6,15 +6,17 @@ block → cluster → verify → canonicalize → writeback), collapsed into one
 declarative dataflow (SURVEY.md §3.1):
 
     pages(url, warc_ts, html, text, lang)
-      └─ stage ids:        url → 64-bit doc id (xxhash64), text untouched
+      └─ stage ids:        (url, warc_ts) → 64-bit doc id, text untouched
       └─ stage collapse:   byte-identical texts → one representative
                            (reference analogue: SHA-1 repID freq upsert)
-      └─ stage minhash:    MinHash/LSH verified Jaccard pairs
-      └─ stage simhash:    SimHash Hamming-≤k pairs
-      └─ stage substring:  winnowing containment pairs
+      └─ stage sign:       ONE Arrow pass → minhash sig + shingle hashes +
+                           simhash + winnow fingerprints per representative
+      └─ stage minhash:    LSH band join + exact-Jaccard verify
+      └─ stage simhash:    byte-block join + Hamming-≤k verify
+      └─ stage substring:  fingerprint join + containment verify
       └─ stage components: large-star/small-star CC over the edge union
       └─ stage expand:     labels back onto every url via the exact-dup
-                           membership; cluster_id = min url-hash in cluster
+                           membership; cluster_id = min doc-hash in cluster
 
 Every stage checkpoints through plans/manifest.run_stage (per-partition
 lineage + counters; resume on matching fingerprints). The per-row invariant
@@ -39,6 +41,7 @@ from __future__ import annotations
 import hashlib
 import json
 import tempfile
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass, field
 
@@ -46,16 +49,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
-from ..operators.dedup import collapse_exact
-from ..operators.minhash import MinHashConfig, minhash_lsh_pairs
-from ..operators.simhash import SimHashConfig, simhash_pairs
-from ..operators.substring import SubstringConfig, substring_pairs
+from ..operators.minhash import MinHashConfig
+from ..operators.simhash import SimHashConfig
+from ..operators.substring import SubstringConfig
 from .manifest import run_stage
+from .writeback import build_duplicates_table, writeback_canonical
 
 
 @dataclass
 class PipelineConfig:
-    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    # 64 perms / 16 bands (r=4): candidate-catch probability at the 0.8
+    # Jaccard threshold is 1-(1-0.8^4)^16 ≈ 0.9998 (≈1.0 above 0.9), while
+    # signature compute, signature bytes, and band-posting rows all HALVE
+    # vs the standalone 128/32 default — the pipeline's verify step is
+    # exact, so this only trades candidate recall, never precision.
+    minhash: MinHashConfig = field(
+        default_factory=lambda: MinHashConfig(num_perm=64, bands=16)
+    )
     # 16-bit simhash bands: the web-scale setting (collisions 1/65536 vs
     # 1/256 ⇒ candidate volume drops ~256×). Pigeonhole-exact for hamming
     # ≤ 3; the 4..7 tail is partially covered here and overlaps the MinHash
@@ -72,6 +82,12 @@ class PipelineConfig:
     # run detector stages concurrently (overlaps their serialized tails);
     # 0 → one thread per detector, 1 → sequential
     detector_threads: int = 0
+    # durable per-stage parquet checkpoints + lineage manifests (the
+    # north-rule resumability path). False → "light" mode: stage boundaries
+    # become lazy localCheckpoints (materialized on first use, reused after)
+    # — no disk round-trips, no resume; used by throughput benchmarking
+    # where the 7 write+read barriers would serialize the run.
+    checkpoint_stages: bool = True
 
     def fingerprint(self) -> str:
         return hashlib.sha1(
@@ -97,38 +113,60 @@ def dedup_pipeline(
     """
     cfg = cfg or PipelineConfig()
     workdir = workdir or tempfile.mkdtemp(prefix="dedup_pipeline_")
-    in_fp = input_fingerprint or f"volatile-{run_id}"
+    # no caller-supplied fingerprint → a per-invocation nonce, so a rerun
+    # with the same workdir/run_id over changed input never silently
+    # resumes stale checkpoints (resume requires an explicit fingerprint)
+    in_fp = input_fingerprint or f"volatile-{run_id}-{uuid.uuid4().hex}"
     cfg_fp = cfg.fingerprint()
 
     def stage(name: str, compute, extra_cfg: str = "") -> tuple[DataFrame, bool]:
+        if not cfg.checkpoint_stages:
+            return compute().localCheckpoint(eager=False), False
         return run_stage(
             spark, workdir, name, in_fp, cfg_fp + extra_cfg, compute, run_id=run_id
         )
 
-    # --- ids: url → 64-bit id; keep text as-is (byte-identity invariant)
-    docs, _ = stage(
-        "ids",
-        lambda: pages.select(
-            F.col("url"),
-            F.xxhash64("url").alias("doc_id"),
-            F.col("text"),
-        ),
-    )
+    # --- collapse: byte-identical texts → one representative. This is the
+    # ONLY stage that shuffles the text column (the reference analogue:
+    # SHA-1 repID freq upsert). doc_id hashes (url, warc_ts) when the
+    # timestamp exists so recrawls of the same url stay distinct rows.
+    id_cols = ["url", "warc_ts"] if "warc_ts" in pages.columns else ["url"]
+    doc_id = F.xxhash64(*id_cols).alias("doc_id")
+    text_sha = F.sha2(F.col("text"), 256).alias("text_sha")
 
-    # --- collapse exact duplicates before any pairwise work
     def _collapse() -> DataFrame:
-        reps, membership = collapse_exact(docs, text_col="text", id_col="doc_id")
-        return reps.join(
-            membership.groupBy("rep_id").agg(F.collect_list("id").alias("member_ids")),
-            "rep_id",
+        return (
+            pages.select(doc_id, F.col("text"), text_sha)
+            .groupBy("text_sha")
+            .agg(
+                F.min("doc_id").alias("rep_id"),
+                F.first("text").alias("text"),
+                F.count("*").alias("freq"),
+            )
         )
 
     collapsed, _ = stage("collapse", _collapse)
+
+    # --- membership: (doc_id, url, rep_id), one row per input row. The
+    # join key is the content digest — text never shuffles here. The
+    # dropDuplicates enforces doc_id uniqueness for the final label join
+    # (repeated (url, warc_ts) input rows or a 64-bit hash collision would
+    # otherwise fan the join out and break one-label-per-input-row); it
+    # rides on ~50-byte rows, not the corpus.
+    def _membership() -> DataFrame:
+        keyed = pages.select(doc_id, F.col("url"), text_sha)
+        return (
+            keyed.join(collapsed.select("text_sha", "rep_id"), "text_sha")
+            .dropDuplicates(["doc_id"])
+            .select("doc_id", "url", "rep_id")
+        )
+
+    membership, _ = stage("membership", _membership)
     # detectors are UDF-bound, not byte-bound: spread them over the cores
     # rather than letting AQE coalesce the (small-on-disk) checkpoint files
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
-    # eager checkpoint: all three detectors consume reps concurrently;
-    # materializing once avoids three reads + repartitions of the collapse
+    # eager checkpoint: the sign stage and the substring verify both
+    # consume reps; materializing once avoids re-reads of the collapse
     # checkpoint
     reps = (
         collapsed.select("rep_id", "text", "freq")
@@ -137,33 +175,81 @@ def dedup_pipeline(
         .localCheckpoint(eager=True)
     )
 
-    # the three detectors are independent given reps — submit their stage
-    # jobs concurrently so one detector's serialized tail (AQE re-plans,
-    # driver round-trips, small final stages) overlaps another's map work.
-    # This is what lifts cluster utilization (and N→4N scaling): the
-    # scheduler interleaves their tasks instead of idling between stages.
+    # --- sign: ONE Arrow pass computes every detector's signature
+    # (operators/signatures.py): one text transfer, one shingling, one
+    # checkpoint instead of three per-detector UDF chains. The parquet
+    # stage checkpoint then serves each detector via column pruning.
+    from ..operators.minhash import minhash_candidate_pairs, verify_jaccard
+    from ..operators.signatures import add_all_signatures
+    from ..operators.simhash import block_postings, hamming_verify
+    from ..operators.substring import containment_verify
+    from ..operators.joins import band_candidate_pairs
+
+    def _sign() -> DataFrame:
+        return add_all_signatures(
+            reps.select("rep_id", "text"), cfg.minhash, cfg.simhash, cfg.substring
+        ).select("rep_id", "shingle_hashes", "minhash_sig", "simhash", "fingerprints")
+
+    signed, _ = stage("sign", _sign)
+    if not cfg.checkpoint_stages:
+        # light mode returns a LAZY checkpoint; force one materialization
+        # before three concurrent consumers race to compute it
+        signed.count()
+
+    # --- candidate joins + verification, one per detector; these are
+    # independent given `signed`, so their stage jobs run concurrently —
+    # one detector's serialized tail (AQE re-plans, driver round-trips,
+    # small final stages) overlaps another's join work. This is what lifts
+    # cluster utilization (and N→4N scaling).
+    def _minhash() -> DataFrame:
+        s = signed.select(
+            F.col("rep_id").alias("id"), "shingle_hashes", "minhash_sig"
+        )
+        cands = minhash_candidate_pairs(s, cfg.minhash, id_col="id")
+        return verify_jaccard(
+            cands.pairs, s.select("id", "shingle_hashes"), cfg.minhash
+        )
+
+    def _simhash() -> DataFrame:
+        s = signed.select(F.col("rep_id").alias("id"), "simhash")
+        postings = block_postings(s, cfg.simhash, id_col="id")
+        cands = band_candidate_pairs(
+            postings,
+            key_cols=["band_idx", "band_key"],
+            id_col="id",
+            max_bucket_size=cfg.simhash.max_bucket_size,
+            salt=cfg.simhash.salt,
+        )
+        return hamming_verify(cands.pairs, s, cfg.simhash)
+
+    def _substring() -> DataFrame:
+        fps = signed.select(
+            F.col("rep_id").alias("id"), F.explode("fingerprints").alias("fp")
+        )
+        cands = band_candidate_pairs(
+            fps,
+            key_cols=["fp"],
+            id_col="id",
+            max_bucket_size=cfg.substring.max_fingerprint_df,
+            salt=cfg.substring.salt,
+        )
+        base = reps.select(F.col("rep_id").alias("id"), "text")
+        return containment_verify(cands.pairs, base, cfg.substring.min_len)
+
     detector_work: list[tuple[str, object, object]] = []
     if cfg.use_minhash:
         detector_work.append(
-            (
-                "minhash",
-                lambda: minhash_lsh_pairs(reps, cfg.minhash, id_col="rep_id", text_col="text")[0],
-                lambda df: df.select("id1", "id2"),
-            )
+            ("minhash", _minhash, lambda df: df.select("id1", "id2"))
         )
     if cfg.use_simhash:
         detector_work.append(
-            (
-                "simhash",
-                lambda: simhash_pairs(reps, cfg.simhash, id_col="rep_id", text_col="text")[0],
-                lambda df: df.select("id1", "id2"),
-            )
+            ("simhash", _simhash, lambda df: df.select("id1", "id2"))
         )
     if cfg.use_substring:
         detector_work.append(
             (
                 "substring",
-                lambda: substring_pairs(reps, cfg.substring, id_col="rep_id", text_col="text")[0],
+                _substring,
                 lambda df: df.select(
                     F.col("inner_id").alias("id1"), F.col("outer_id").alias("id2")
                 ),
@@ -197,20 +283,13 @@ def dedup_pipeline(
 
     # --- expand back to every url through the exact-dup membership
     def _expand() -> DataFrame:
-        membership = collapsed.select(
-            "rep_id", F.explode("member_ids").alias("doc_id")
-        )
         rep_labels = labels.select(
             F.col("id").alias("rep_id"), F.col("component").alias("cluster_id")
         )
-        per_doc = membership.join(rep_labels, "rep_id", "left").select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("rep_id")).alias("cluster_id"),
-        )
-        out = docs.join(per_doc, "doc_id", "left").select(
+        out = membership.join(rep_labels, "rep_id", "left").select(
             "url",
             "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_id", F.col("rep_id")).alias("cluster_id"),
         )
         cluster_sizes = out.groupBy("cluster_id").agg(F.count("*").alias("_sz"))
         return out.join(cluster_sizes, "cluster_id").select(
@@ -219,3 +298,59 @@ def dedup_pipeline(
 
     assignments, _ = stage("expand", _expand)
     return assignments
+
+
+@dataclass
+class PipelineOutputs:
+    assignments: DataFrame  # (url, doc_id, cluster_id, is_duplicate)
+    duplicates: DataFrame  # one canonical record per multi-member cluster
+    canonical_pages: DataFrame  # stage-5 writeback view of the input
+
+
+def dedup_pipeline_full(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig | None = None,
+    workdir: str | None = None,
+    input_fingerprint: str | None = None,
+    run_id: str = "run",
+) -> PipelineOutputs:
+    """The complete reference flow: clustering (stages B1–3 analogue via
+    ``dedup_pipeline``) plus canonicalization + writeback (reference stages
+    4–5, /root/reference/code/4_index_duplicates.py:188-269 and
+    5_update_references.py:56-116), each a resumable checkpointed stage.
+
+    ``canonical_pages`` replaces each duplicate member's ``text`` with the
+    cluster-canonical text and keeps the member's own bytes as
+    ``text_original`` — the byte-identity invariant of the *clustering*
+    output thus stays intact (``assignments`` never rewrites text; the
+    rewrite here is the explicitly-opted stage-5 semantics, original
+    preserved alongside).
+    """
+    cfg = cfg or PipelineConfig()
+    workdir = workdir or tempfile.mkdtemp(prefix="dedup_pipeline_")
+    in_fp = input_fingerprint or f"volatile-{run_id}-{uuid.uuid4().hex}"
+    assignments = dedup_pipeline(
+        spark, pages, cfg, workdir=workdir, input_fingerprint=in_fp, run_id=run_id
+    )
+    cfg_fp = cfg.fingerprint()
+
+    def stage(name: str, compute) -> tuple[DataFrame, bool]:
+        if not cfg.checkpoint_stages:
+            return compute().localCheckpoint(eager=False), False
+        return run_stage(spark, workdir, name, in_fp, cfg_fp, compute, run_id=run_id)
+
+    id_cols = ["url", "warc_ts"] if "warc_ts" in pages.columns else ["url"]
+    docs = pages.withColumn("doc_id", F.xxhash64(*id_cols)).dropDuplicates(["doc_id"])
+
+    duplicates, _ = stage(
+        "duplicates",
+        lambda: build_duplicates_table(
+            assignments.where("is_duplicate"), docs.select("doc_id", "text")
+        ),
+    )
+    canonical_pages, _ = stage(
+        "writeback",
+        lambda: writeback_canonical(docs, assignments, duplicates),
+    )
+    return PipelineOutputs(assignments, duplicates, canonical_pages)

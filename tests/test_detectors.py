@@ -206,3 +206,25 @@ def test_bucket_cap_drops_accounted(spark):
     assert res.pairs.count() == 3  # only the small bucket pairs
     d = res.drops.collect()
     assert len(d) == 1 and d[0]["bucket_size"] == 100
+
+
+def test_jaccard_pairs_hot_shingle_cap(spark):
+    from outcite_duplicate_detecting_spark.operators.dedup import jaccard_pairs_with_drops
+
+    # 30 docs all sharing one stop-shingle; two genuine near-dup docs
+    rows = [(int(i), f"common stop phrase unique{i} tail{i} word{i}") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs, drops = jaccard_pairs_with_drops(df, threshold=0.5, max_bucket_size=10)
+    d = drops.collect()
+    assert {r["shingle"] for r in d} == {"common stop phrase"}
+    assert d[0]["bucket_size"] == 30
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert got == {(100, 101)}  # stop-shingle bucket generated no pairs
+
+    # uncapped: identical output when no bucket exceeds the cap
+    capped, drops2 = jaccard_pairs_with_drops(df, threshold=0.5, max_bucket_size=25000)
+    uncapped, _ = jaccard_pairs_with_drops(df, threshold=0.5, max_bucket_size=None)
+    assert drops2.count() == 0
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))

@@ -1,0 +1,202 @@
+"""Generalization lattice, surrogate specification, min-el diagnostics,
+gold-link labels, and word normalization vs hand-computed oracles."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from outcite_duplicate_detecting_spark.functions.wordnorm import (
+    CORE_WORDS,
+    compound_split,
+    lemmatize,
+    make_is_word,
+    normalize_tokens_udf,
+    py_authgrams,
+    py_chargrams_per_word,
+    chargrams_per_word,
+)
+from outcite_duplicate_detecting_spark.operators.containment import (
+    containment_pairs,
+    lattice_pair_recall,
+    minel_fanin_stats,
+    minel_superset_edges,
+)
+from outcite_duplicate_detecting_spark.operators.generalize import (
+    GeneralizationScheme,
+    generalize_expand,
+    parse_rule_line,
+    specify_surrogates,
+)
+from outcite_duplicate_detecting_spark.operators.goldlinks import gold_labels
+
+
+# ------------------------------------------------------------- generalize
+
+def test_parse_rule_line():
+    lhs, rhss, ftypes = parse_rule_line(
+        "2 initial 0 first 3 term --> 1 initial 0 first 2 term | 2 initial 0 first 1 term"
+    )
+    assert lhs == (2, 0, 3)
+    assert rhss == [(1, 0, 2), (2, 0, 1)]
+    assert ftypes == ["initial", "first", "term"]
+
+
+def test_generalize_expand(spark):
+    scheme = GeneralizationScheme(
+        groups={"term": ["t1", "t2"], "year": ["y1"]},
+        rules={(2, 1): [(1, 1), (2, 0)]},
+        restrictions=[["t1", "t2"]],  # at least one term must survive
+    )
+    df = spark.createDataFrame(
+        [(1, "a", "b", "1999"), (2, "a", None, "2000")],
+        "id long, t1 string, t2 string, y1 string",
+    )
+    got = generalize_expand(df, scheme, id_col="id").collect()
+    rows = {(r["id"], r["t1"], r["t2"], r["y1"]) for r in got}
+    # row 1 (lhs (2,1)): rhs (1,1) → keep one of {t1,t2} + y1 (2 combos);
+    # rhs (2,0) → keep both terms, drop year (1 combo). All pass restriction.
+    assert rows == {
+        (1, "a", None, "1999"),
+        (1, None, "b", "1999"),
+        (1, "a", "b", None),
+    }
+    # row 2 has lhs (1,1): no rule → nothing emitted
+
+
+def test_specify_surrogates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, None, None, "x"),  # restriction 1 all-null → f1 = id
+            (2, "a", None, None),  # restriction 2 all-null → f3 = id
+            (3, None, None, None),  # both null → FIRST restriction wins only
+            (4, "a", "b", "c"),  # fully specified → untouched
+        ],
+        "id long, f1 string, f2 string, f3 string",
+    )
+    got = {
+        r["id"]: r
+        for r in specify_surrogates(
+            df, [["f1", "f2"], ["f3"]], id_col="id"
+        ).collect()
+    }
+    assert got[1]["f1"] == "1" and got[1]["f3"] == "x"
+    assert got[2]["f1"] == "a" and got[2]["f3"] == "2"
+    assert got[3]["f1"] == "3" and got[3]["f3"] is None  # first-match only
+    assert got[4]["f1"] == "a" and got[4]["f3"] == "c"
+
+
+# ---------------------------------------------------------- minel stats
+
+@pytest.fixture()
+def poset(spark):
+    # feature sets: m1={a}, m2={b}, s1={a,b}, s2={a,b,c}, s3={b,d}
+    rows = [
+        (1, ["a"]),
+        (2, ["b"]),
+        (3, ["a", "b"]),
+        (4, ["a", "b", "c"]),
+        (5, ["b", "d"]),
+    ]
+    return spark.createDataFrame(rows, "id long, features array<string>")
+
+
+def test_minel_fanin_stats(spark, poset):
+    pairs = containment_pairs(poset)
+    edges = minel_superset_edges(pairs)
+    # minels: 1 ({a}) and 2 ({b}). supersets of 1: 3,4; of 2: 3,4,5.
+    # fan_in: 3→2, 4→2, 5→1
+    got = {r["minel_id"]: r for r in minel_fanin_stats(edges).collect()}
+    assert got[1]["num_any"] == 2 and got[1]["num_multi"] == 2 and got[1]["num_single"] == 0
+    assert got[2]["num_any"] == 3 and got[2]["num_multi"] == 2 and got[2]["num_single"] == 1
+    assert got[1]["prob_multi_ppm"] == 1_000_000
+    assert got[2]["prob_multi_ppm"] == 666_666
+
+
+def test_lattice_pair_recall(spark, poset):
+    pairs = containment_pairs(poset)
+    edges = minel_superset_edges(pairs)
+    # gold: minels 1,2 same group g1 (they share supersets 3 and 4 → reached)
+    nodes = spark.createDataFrame(
+        [(1, "g1"), (2, "g1")], "id long, gold string"
+    )
+    row = lattice_pair_recall(edges, nodes).collect()[0]
+    # reached pairs within g1: (1,1),(2,2) reflexive + (1,2),(2,1) shared sup
+    # TP = 4, T = (1+1)^2 = 4 → recall 1.0
+    assert row["tp"] == 4 and row["t"] == 4
+    assert row["micro_recall_ppm"] == 1_000_000
+    assert row["macro_recall_ppm"] == 1_000_000
+
+    # split gold: each its own group → TP per group = 1, T = 1 → still 1.0;
+    # but a third minel with NO shared superset in g1 lowers recall
+    nodes2 = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (6, "g1")], "id long, gold string"
+    )
+    row2 = lattice_pair_recall(edges, nodes2).collect()[0]
+    # node 6 has no edges (isolated): reaches only itself.
+    # reached in-gold pairs: (1,1),(2,2),(6,6),(1,2),(2,1) → TP=5, T=9
+    assert row2["tp"] == 5 and row2["t"] == 9
+
+
+# ------------------------------------------------------------ gold links
+
+def test_gold_labels(spark):
+    df = spark.createDataFrame(
+        [
+            ("m1", "X", None),
+            ("m2", "X", "Y"),
+            ("m3", None, "Y"),
+            ("m4", "Z", None),
+            ("m5", None, None),  # no targets → singleton
+        ],
+        "mention string, crossref string, dnb string",
+    )
+    got = gold_labels(df, "mention", ["crossref", "dnb"]).collect()
+    lab = {r["mention"]: r["gold_id"] for r in got}
+    assert len(lab) == 5
+    assert lab["m1"] == lab["m2"] == lab["m3"]  # X chains to Y via m2
+    assert lab["m4"] != lab["m1"]
+    assert lab["m5"] not in (lab["m1"], lab["m4"])
+
+
+# -------------------------------------------------------------- wordnorm
+
+def test_is_word_and_split():
+    iw = make_is_word()
+    assert iw("house")
+    assert iw("the")  # stopword, len > 2
+    assert not iw("zz")
+    assert compound_split("waterlight", iw) == ["water", "light"]
+    assert compound_split("xqzzt", iw) == ["xqzzt"]  # unsplittable passthrough
+    # longest valid prefix wins: 'years' (a word itself) + 'book'
+    assert compound_split("yearsbook", iw) == ["years", "book"]
+
+
+def test_lemmatize():
+    iw = make_is_word()
+    assert lemmatize("houses", iw) == "house"
+    assert lemmatize("states", iw) == "state"
+    assert lemmatize("men", iw) == "man"
+    assert lemmatize("playing", iw) == "play"
+    assert lemmatize("unknownword", iw) == "unknownword"
+
+
+def test_normalize_tokens_udf(spark):
+    df = spark.createDataFrame(
+        [(1, ["houses", "waterlight", "xqzzt"])], "id long, toks array<string>"
+    )
+    got = df.select(normalize_tokens_udf()(F.col("toks")).alias("n")).collect()[0]["n"]
+    assert got == ["house", "water", "light", "xqzzt"]
+
+
+def test_chargrams_and_authgrams(spark):
+    assert py_chargrams_per_word("ab cde", n=2) == ["ab", "cd", "de"]
+    assert py_chargrams_per_word("smith", n=4) == ["smit", "mith"]
+    assert py_chargrams_per_word("abc", n=4) == []
+    # per-word grams: 'smith_j' → words [smith, j] → grams of 'smith' only
+    # ('j' and 'doe' are shorter than n=4 and contribute nothing)
+    ag = py_authgrams([("smith", "j", None), ("doe", None, None)], n=4)
+    assert ag == ["smit", "mith"] + [None] * 10
+    # catalyst twin matches the python twin
+    df = spark.createDataFrame([("ab cde",), ("smith",), ("x",)], "s string")
+    got = [r["g"] for r in df.select(chargrams_per_word("s", 2).alias("g")).collect()]
+    assert got == [py_chargrams_per_word(s, 2) for s in ("ab cde", "smith", "x")]

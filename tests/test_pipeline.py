@@ -95,7 +95,8 @@ def test_pipeline_resume_identical(spark, run, tmp_path):
     b = {(r["url"], r["cluster_id"]) for r in again.collect()}
     assert a == b
     # manifests exist for every stage
-    stages = {"ids", "collapse", "minhash", "simhash", "substring", "components", "expand"}
+    stages = {"collapse", "membership", "sign", "minhash", "simhash", "substring",
+              "components", "expand"}
     assert stages <= set(os.listdir(workdir))
 
 
