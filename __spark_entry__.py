@@ -566,6 +566,46 @@ def q_gold_labels(spark, sf_dir):
     return lab.join(reps, "gold_id").select("doc_id", "gold_rep")
 
 
+def q_melt_attrs(spark, sf_dir):
+    """flatten/pairfy (3_update_duplicateIDs.py:153-183): nested record →
+    long-format attribute-value pairs, one schema-driven explode."""
+    from outcite_duplicate_detecting_spark.operators.reshape import melt_attrs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.struct(
+            F.col("lang"),
+            F.col("source"),
+            F.struct(F.col("n_chars").alias("chars")).alias("meta"),
+        ).alias("rec"),
+    )
+    return melt_attrs(d, "doc_id", "rec")
+
+
+def q_clean_int(spark, sf_dir):
+    """Integer-range clean (4_index_duplicates.py:102-119) over event years."""
+    from outcite_duplicate_detecting_spark.functions.textnorm import clean_int
+
+    ev = load_table(spark, sf_dir, "events")
+    y = F.year(F.col("ts").cast("timestamp_ltz")).cast("string")
+    return ev.select(
+        "event_id", clean_int(y, 2020, 2022).alias("year_clean")
+    )
+
+
+def q_gold_histogram(spark, sf_dir):
+    """Gold component-size histogram (core_goldstandard.py:106-109) over
+    the source-derived gold groups."""
+    from outcite_duplicate_detecting_spark.sources.gold import (
+        component_size_histogram,
+    )
+
+    labels = q_gold_labels(spark, sf_dir).select(
+        "doc_id", F.col("gold_rep").alias("gold_id")
+    )
+    return component_size_histogram(labels)
+
+
 def q_chargrams(spark, sf_dir):
     """Per-word ascii-context char-4-grams (B2_process_features.py:134-142),
     non-distinct, short words contribute nothing."""
@@ -643,6 +683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lattice_recall": q_lattice_recall,
         "gold_labels": q_gold_labels,
         "chargrams": q_chargrams,
+        "melt_attrs": q_melt_attrs,
+        "clean_int": q_clean_int,
+        "gold_histogram": q_gold_histogram,
     }
 
 
@@ -1142,6 +1185,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, len(grams)::BIGINT AS n_grams, grams[1] AS first_gram
             FROM g
+        """,
+        "melt_attrs": """
+            SELECT doc_id, attr, value FROM (
+              SELECT doc_id, 'lang' AS attr, lang::VARCHAR AS value FROM documents
+              UNION ALL
+              SELECT doc_id, 'source', source::VARCHAR FROM documents
+              UNION ALL
+              SELECT doc_id, 'meta_chars', n_chars::VARCHAR FROM documents
+            ) t WHERE value IS NOT NULL
+        """,
+        "clean_int": """
+            SELECT event_id,
+                   CASE WHEN year(ts) BETWEEN 2020 AND 2022 AND year(ts) != 0
+                        THEN year(ts) END::BIGINT AS year_clean
+            FROM events
+        """,
+        "gold_histogram": """
+            SELECT n::BIGINT AS component_size, count(*)::BIGINT AS n_components
+            FROM (SELECT source, count(*) AS n FROM documents GROUP BY source) t
+            GROUP BY n
         """,
         # dedup_simhash, ann_lsh_cosine, pairwise_verify:
         # signature/difflib-dependent — not SQL-expressible; the driver

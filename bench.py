@@ -125,23 +125,32 @@ def run_scaling() -> dict:
     snippet = _SCALING_SNIPPET.format(repo=os.path.dirname(os.path.abspath(__file__)))
     n_small, n_big = SCALE_N, SCALE_N * 4
     results = {}
-    # big leg first: it warms the corpus page cache for the long small leg
+    # big leg first (warms the corpus page cache for the long small leg);
+    # best-of-2 per leg: this host exhibits a sporadic ~2x slow state
+    # (hypervisor-level, uncorrelated with the workload — identical
+    # back-to-back runs measured 46s vs 118s), so a single sample can
+    # misstate either leg. Min-of-2 recovers the machine's true speed.
     for cores in (n_big, n_small):
-        workdir = os.path.join(tmp, f"work{cores}")
-        # pin the whole JVM+python-worker tree to exactly `cores` CPUs —
-        # the core-bounded-executor emulation the north rule's N vs 4N
-        # cluster comparison implies (see module docstring)
-        cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
-               snippet, str(cores), corpus_dir, workdir]
-        if shutil.which("taskset") is None:
-            cmd = cmd[3:]
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-        if not line:
-            raise RuntimeError(
-                f"scaling run cores={cores} failed:\n{proc.stderr[-2000:]}"
-            )
-        results[cores] = json.loads(line[-1])
+        best = None
+        for attempt in range(2):
+            workdir = os.path.join(tmp, f"work{cores}_{attempt}")
+            # pin the whole JVM+python-worker tree to exactly `cores`
+            # CPUs — the core-bounded-executor emulation the north rule's
+            # N vs 4N cluster comparison implies (see module docstring)
+            cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
+                   snippet, str(cores), corpus_dir, workdir]
+            if shutil.which("taskset") is None:
+                cmd = cmd[3:]
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if not line:
+                raise RuntimeError(
+                    f"scaling run cores={cores} failed:\n{proc.stderr[-2000:]}"
+                )
+            res = json.loads(line[-1])
+            if best is None or res["wall_sec"] < best["wall_sec"]:
+                best = res
+        results[cores] = best
     shutil.rmtree(tmp, ignore_errors=True)
 
     speedup = results[n_big]["docs_per_sec"] / results[n_small]["docs_per_sec"]
@@ -190,7 +199,7 @@ def write_bench_md(timings: dict[str, float], scaling: dict | None) -> None:
             "slower at 16+ busy cores — so larger pairs measure the silicon, not the",
             "pipeline.",
             "",
-            "| parallelism | wall sec | docs/sec |",
+            "| parallelism | wall sec (best of 2) | docs/sec |",
             "| --- | --- | --- |",
             f"| local[{ns}] pinned to {ns} CPUs | {scaling['small_wall_sec']} | {scaling['small_docs_per_sec']} |",
             f"| local[{nb}] pinned to {nb} CPUs | {scaling['big_wall_sec']} | {scaling['big_docs_per_sec']} |",

@@ -69,3 +69,26 @@ YEAR_REGEX = r"1[5-9]\d{2}|20(0\d|1\d|2[0-3])"
 def year_regex_ok(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("string").rlike(f"^({YEAR_REGEX})$")
+
+
+def clean_int(col: Column | str, lower: int, upper: int) -> Column:
+    """Integer-range clean (reference ``clean_int``,
+    4_index_duplicates.py:102-119): non-integer → NULL, outside
+    [lower, upper] → NULL, zero → NULL (the reference's truthiness check)."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = c.cast("string").try_cast("long")
+    return F.when(v.isNotNull() & (v != 0) & v.between(lower, upper), v)
+
+
+def clean_int_span(
+    start: Column | str, end: Column | str, lower: int = 1, upper: int = 10000
+) -> tuple[Column, Column]:
+    """The cross-field start/end rule (4_index_duplicates.py:193-194):
+    start is cleaned against [lower, end] and end against [start, upper];
+    a missing counterpart falls back to the absolute bound — so start > end
+    spans NULL out, matching the reference's dependent clean_int calls."""
+    s_raw = clean_int(start, lower, upper)
+    e_raw = clean_int(end, lower, upper)
+    s = F.when(e_raw.isNull() | (s_raw <= e_raw), s_raw)
+    e = F.when(s_raw.isNull() | (e_raw >= s_raw), e_raw)
+    return s, e

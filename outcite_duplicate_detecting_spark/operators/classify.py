@@ -103,6 +103,73 @@ def score_pairs(
     )
 
 
+def ff_smoothing_pairs(
+    postings: DataFrame,
+    id_col: str = "id",
+    feat_col: str = "feat",
+    ff_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Feature-feature probability smoothing (reference ``getFF`` +
+    ``probability``, /root/reference/code/common.py:311-326; the PROB /
+    PROB_thr similarity modes — OFF in reference production,
+    2_update_clusterIDs.py:110; provided for mode parity).
+
+    With M the boolean doc×feature matrix, x=per-doc feature counts,
+    f=per-feature doc counts: FF[g,h] = Σ_d M[d,g]·M[d,h] / (x[d]·f[h]);
+    with a threshold, FF rows are normalized by their diagonal and entries
+    below the threshold dropped. The smoothed doc-pair score is
+    S[a,b] = Σ_{g,h} (M[a,g]/f[g]) · FF[g,h] · (M[b,h]/x[b]).
+
+    All of it is three join-aggregations over the exploded postings table
+    (the CSR dot products in relational form); FF is only materialized for
+    co-occurring feature pairs. Output: (id1, id2, score) for id1 != id2.
+    Intended for per-block use like the reference (features per block are
+    bounded); the FF join is quadratic in features-per-doc.
+    """
+    p = postings.select(
+        F.col(id_col).alias("id"), F.col(feat_col).alias("feat")
+    ).distinct()
+    x = p.groupBy("id").agg(F.count("*").alias("x"))
+    fv = p.groupBy("feat").agg(F.count("*").alias("f"))
+
+    a = p.select(F.col("id"), F.col("feat").alias("g"))
+    b = p.select(F.col("id"), F.col("feat").alias("h"))
+    ff = (
+        a.join(b, "id")
+        .join(x, "id")
+        .join(fv.select(F.col("feat").alias("h"), F.col("f").alias("f_h")), "h")
+        .groupBy("g", "h")
+        .agg(F.sum(F.lit(1.0) / (F.col("x") * F.col("f_h"))).alias("ff"))
+    )
+    if ff_threshold is not None:
+        diag = ff.where(F.col("g") == F.col("h")).select(
+            F.col("g"), F.col("ff").alias("ff_gg")
+        )
+        ff = (
+            ff.join(diag, "g")
+            .withColumn("ff", F.col("ff") / F.col("ff_gg"))
+            .where(F.col("ff") >= ff_threshold)
+            .drop("ff_gg")
+        )
+    left = (
+        p.select(F.col("id").alias("id1"), F.col("feat").alias("g"))
+        .join(fv.select(F.col("feat").alias("g"), "f"), "g")
+        .select("id1", "g", (F.lit(1.0) / F.col("f")).alias("xf"))
+    )
+    right = (
+        p.select(F.col("id").alias("id2"), F.col("feat").alias("h"))
+        .join(x.select(F.col("id").alias("id2"), "x"), "id2")
+        .select("id2", "h", (F.lit(1.0) / F.col("x")).alias("fx"))
+    )
+    return (
+        left.join(ff, "g")
+        .join(right, "h")
+        .where(F.col("id1") != F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("xf") * F.col("ff") * F.col("fx")).alias("score"))
+    )
+
+
 def within_cluster_pairs(
     assignments: DataFrame,
     cluster_col: str = "cluster_id",

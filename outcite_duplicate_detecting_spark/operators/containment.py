@@ -79,6 +79,26 @@ def minel_superset_edges(pairs: DataFrame) -> DataFrame:
     )
 
 
+def single_feature_labels(
+    df: DataFrame, id_col: str = "id", features_col: str = "features"
+) -> DataFrame:
+    """Single-feature blocking (the reference's alternative separation
+    method, /root/reference/code/blocking/code/pipeline/5a_singlesep.sh:7-14):
+    every shared feature links its carriers; labels = connected components
+    of the id↔feature bipartite graph. Features are hashed into the id
+    space with a namespace prefix; output (id, label) with label = the
+    component's minimum id-node hash — deterministic across partitionings."""
+    from .components import connected_components
+
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    edges = df.select(
+        F.col(id_col).cast("long").alias("src"),
+        F.explode(F.array_distinct(F.col(features_col))).alias("feat"),
+    ).select("src", F.xxhash64(F.concat(F.lit("feat:"), F.col("feat"))).alias("dst"))
+    labels = connected_components(edges, src="src", dst="dst", nodes=ids)
+    return labels.select(F.col("id").alias(id_col), F.col("component").alias("label"))
+
+
 def minel_fanin_stats(minel_edges: DataFrame) -> DataFrame:
     """The reference's min-el fan-in diagnostics
     (/root/reference/code/blocking/code/find_components_disk.py:224-250).
