@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))  # small leg; big = 4N
 
@@ -133,6 +133,11 @@ def run_scaling() -> dict:
     for cores in (n_big, n_small):
         best = None
         for attempt in range(2):
+            # flush dirty pages before each timed leg: accumulated
+            # unsynced writes from earlier runs throttle this leg's
+            # shuffle/checkpoint writes (measured 74s vs 127s for an
+            # identical run with ~30 GB of stale dirty /tmp pages)
+            os.sync()
             workdir = os.path.join(tmp, f"work{cores}_{attempt}")
             # pin the whole JVM+python-worker tree to exactly `cores`
             # CPUs — the core-bounded-executor emulation the north rule's

@@ -45,23 +45,30 @@ def majority_vote_fields(
     fields: list[str],
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-cluster per-field mode with NULLs excluded; ties by value order.
+    """Per-cluster per-field mode with NULLs excluded; ties by value order
+    (values carried as strings in the long format).
 
     Reference majority_vote treats NULL as wildcard support
-    (4_index_duplicates.py:122-133); the wildcard rule only changes outcomes
-    when a NULL-carrying tuple would outvote all concrete tuples — per-field
-    mode with NULL exclusion is the decoupled-field equivalent."""
-    out = docs.select(cluster_col).distinct()
-    for f in fields:
-        counts = (
-            docs.where(F.col(f).isNotNull())
-            .groupBy(cluster_col, f)
-            .agg(F.count("*").alias("_n"))
-            .groupBy(cluster_col)
-            .agg(F.max_by(F.col(f), F.struct(F.col("_n"), F.col(f))).alias(f))
-        )
-        out = out.join(counts, cluster_col, "left")
-    return out
+    (4_index_duplicates.py:122-133) — ``majority_vote_wildcard`` implements
+    that coupled-tuple rule; this is the decoupled per-field mode. One melt
+    (stack) + one groupBy + one pivot — a single shuffle chain instead of
+    one join per field."""
+    stack_args = ", ".join(f"'{f}', cast({f} as string)" for f in fields)
+    melted = docs.select(
+        F.col(cluster_col),
+        F.expr(f"stack({len(fields)}, {stack_args}) as (field, value)"),
+    ).where(F.col("value").isNotNull())
+    winners = (
+        melted.groupBy(cluster_col, "field", "value")
+        .agg(F.count("*").alias("_n"))
+        .groupBy(cluster_col, "field")
+        .agg(F.max_by(F.col("value"), F.struct(F.col("_n"), F.col("value"))).alias("_win"))
+    )
+    pivoted = (
+        winners.groupBy(cluster_col).pivot("field", fields).agg(F.first("_win"))
+    )
+    all_clusters = docs.select(cluster_col).distinct()
+    return all_clusters.join(pivoted, cluster_col, "left")
 
 
 def majority_vote_wildcard(

@@ -39,13 +39,22 @@ def band_candidate_pairs(
     id_col: str = "id",
     max_bucket_size: int | None = None,
     salt: int | None = None,
+    probe_left: DataFrame | None = None,
 ) -> PairGenResult:
     """All distinct ordered id pairs co-occurring under any key.
 
     ``postings`` rows: (id, key...). Multiple keys per id are expected
     (bands, fingerprints); the output is distinct across keys.
+
+    ``probe_left``: optional EXPANDED postings (same schema) joined
+    against the original table instead of a plain self-join — the
+    multi-probe pattern (e.g. 1-bit simhash band flips). Bucket sizes and
+    the cap are always measured on the ORIGINAL postings; dropped keys are
+    excluded from both sides. Mutually exclusive with ``salt``.
     """
+    assert probe_left is None or not (salt and salt > 1), "probe+salt unsupported"
     keyed = postings.select(id_col, *key_cols)
+    left_keyed = probe_left.select(id_col, *key_cols) if probe_left is not None else keyed
 
     if max_bucket_size is not None:
         sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
@@ -54,6 +63,12 @@ def band_candidate_pairs(
         keyed = keyed.join(
             F.broadcast(drops.select(*key_cols)), on=key_cols, how="left_anti"
         )
+        if probe_left is not None:
+            left_keyed = left_keyed.join(
+                F.broadcast(drops.select(*key_cols)), on=key_cols, how="left_anti"
+            )
+        else:
+            left_keyed = keyed
     else:
         drops = (
             keyed.select(*key_cols).limit(0).withColumn("bucket_size", F.lit(0).cast("long"))
@@ -66,9 +81,23 @@ def band_candidate_pairs(
             F.greatest("id1", "id2").alias("id2"),
         )
     else:
-        a = keyed.select(*key_cols, F.col(id_col).alias("id1"))
+        a = left_keyed.select(*key_cols, F.col(id_col).alias("id1"))
         b = keyed.select(*key_cols, F.col(id_col).alias("id2"))
         pairs = a.join(b, on=key_cols).where(F.col("id1") < F.col("id2"))
+        if probe_left is not None:
+            # asymmetric expansion finds each ≤1-bit band pair in one
+            # direction only when id order misaligns — normalize by also
+            # probing the reverse orientation via the same join output:
+            # (a_exp ⋈ b) ∪ swap is equivalent to expanding both sides,
+            # and the cheap form is keeping BOTH orders then normalizing
+            pairs = (
+                a.join(b, on=key_cols)
+                .where(F.col("id1") != F.col("id2"))
+                .select(
+                    F.least("id1", "id2").alias("id1"),
+                    F.greatest("id1", "id2").alias("id2"),
+                )
+            )
     # plain distinct: map-side partial dedup collapses the (band-count ×)
     # duplicate factor before the shuffle. Reducer parallelism for these
     # byte-small/CPU-heavy shuffles is protected by the session's

@@ -50,6 +50,15 @@ class SimHashConfig:
     gram_n: int = 2
     hamming_k: int = 7
     bits_per_band: int = 8  # 8 → 8 blocks (exact for k ≤ 7); 16 → 4 blocks (k ≤ 3)
+    # 1-bit multi-probe: the query side of the band join also posts every
+    # single-bit flip of each band value. Pigeonhole: if every band of a
+    # pair differs in ≥2 bits, hamming ≥ 2·bands — so probing recovers
+    # EXACTNESS for k ≤ 2·bands−1. The web-scale setting is
+    # bits_per_band=16 + multi_probe (exact k ≤ 7 with 16-bit keys whose
+    # random-collision rate is 17/65536 per band ≈ 30× below 8-bit blocks);
+    # plain 16-bit banding is exact only to k ≤ 3 and leaves the 4..7 tail
+    # probabilistic.
+    multi_probe: bool = False
     max_bucket_size: int | None = 25000
     salt: int | None = None
     # "python": shingle + FNV-hash + fold entirely inside one UDF; only the
@@ -64,7 +73,11 @@ class SimHashConfig:
         return 64 // self.bits_per_band
 
     def exactness_holds(self) -> bool:
-        """Pigeonhole guarantee: k < bands ⇒ some block is untouched."""
+        """Pigeonhole guarantee: plain banding is exact when some block
+        must be untouched (k < bands); 1-bit multi-probe is exact when
+        some block must carry ≤1 flipped bit (k ≤ 2·bands−1)."""
+        if self.multi_probe:
+            return self.hamming_k <= 2 * self.bands - 1
         return self.hamming_k < self.bands
 
 
@@ -199,15 +212,49 @@ def simhash_pairs(
         .select("id", "simhash")
         .localCheckpoint(eager=True)
     )
-    postings = block_postings(signed, cfg, id_col="id")
-    cands = band_candidate_pairs(
+    cands = simhash_candidate_pairs(signed, cfg, id_col="id")
+    return hamming_verify(cands.pairs, signed, cfg), cands.drops
+
+
+def probe_block_postings(
+    df: DataFrame, cfg: SimHashConfig, id_col: str = "id", sig_col: str = "simhash"
+) -> DataFrame:
+    """Query-side postings for 1-bit multi-probe: every band value plus its
+    ``bits_per_band`` single-bit flips — pure JVM bit ops."""
+    w = cfg.bits_per_band
+    mask = (1 << w) - 1
+    entries = []
+    for bi in range(cfg.bands):
+        block = F.shiftrightunsigned(F.col(sig_col), bi * w).bitwiseAND(F.lit(mask))
+        variants = [block] + [block.bitwiseXOR(F.lit(1 << j)) for j in range(w)]
+        entries += [
+            F.struct(
+                F.lit(bi).cast("int").alias("band_idx"), v.alias("band_key")
+            )
+            for v in variants
+        ]
+    return df.select(F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("b")).select(
+        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def simhash_candidate_pairs(
+    signed: DataFrame, cfg: SimHashConfig, id_col: str = "id", sig_col: str = "simhash"
+) -> PairGenResult:
+    postings = block_postings(signed, cfg, id_col=id_col, sig_col=sig_col)
+    probe = (
+        probe_block_postings(signed, cfg, id_col=id_col, sig_col=sig_col)
+        if cfg.multi_probe
+        else None
+    )
+    return band_candidate_pairs(
         postings,
         key_cols=["band_idx", "band_key"],
         id_col="id",
         max_bucket_size=cfg.max_bucket_size,
         salt=cfg.salt,
+        probe_left=probe,
     )
-    return hamming_verify(cands.pairs, signed, cfg), cands.drops
 
 
 def hamming_verify(

@@ -94,15 +94,21 @@ def ann_lsh_cosine(
     """Approximate top-k: same output shape as knn_cosine_brute, candidates
     limited to vectors sharing ≥1 LSH bucket with the query."""
     cfg = cfg or AnnLshConfig()
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    rng = np.random.RandomState(cfg.seed)
-    planes = rng.standard_normal((cfg.n_tables, cfg.n_planes, dim))
+    n_tables, n_planes, seed = cfg.n_tables, cfg.n_planes, cfg.seed
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
+        # hyperplanes derive deterministically from (seed, dim) INSIDE the
+        # UDF — no driver-side `first()` action to learn the dimensionality
+        # (identical planes on every worker/batch for a given dim; the
+        # regeneration cost is a few KB of randn per Arrow batch). An
+        # explicit `dim` argument just pins the expectation.
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        out = []
+        if dim is not None and m.shape[1] != dim:
+            raise ValueError(f"embedding dim {m.shape[1]} != declared {dim}")
+        planes = np.random.RandomState(seed).standard_normal(
+            (n_tables, n_planes, m.shape[1])
+        )
         bits_per_table = []
         for t in range(planes.shape[0]):
             proj = m @ planes[t].T > 0  # (batch, n_planes) bools

@@ -181,7 +181,7 @@ def dedup_pipeline(
     # stage checkpoint then serves each detector via column pruning.
     from ..operators.minhash import minhash_candidate_pairs, verify_jaccard
     from ..operators.signatures import add_all_signatures
-    from ..operators.simhash import block_postings, hamming_verify
+    from ..operators.simhash import hamming_verify, simhash_candidate_pairs
     from ..operators.substring import containment_verify
     from ..operators.joins import band_candidate_pairs
 
@@ -212,14 +212,7 @@ def dedup_pipeline(
 
     def _simhash() -> DataFrame:
         s = signed.select(F.col("rep_id").alias("id"), "simhash")
-        postings = block_postings(s, cfg.simhash, id_col="id")
-        cands = band_candidate_pairs(
-            postings,
-            key_cols=["band_idx", "band_key"],
-            id_col="id",
-            max_bucket_size=cfg.simhash.max_bucket_size,
-            salt=cfg.simhash.salt,
-        )
+        cands = simhash_candidate_pairs(s, cfg.simhash, id_col="id")
         return hamming_verify(cands.pairs, s, cfg.simhash)
 
     def _substring() -> DataFrame:

@@ -228,3 +228,33 @@ def test_jaccard_pairs_hot_shingle_cap(spark):
     uncapped, _ = jaccard_pairs_with_drops(df, threshold=0.5, max_bucket_size=None)
     assert drops2.count() == 0
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_simhash_multiprobe_exact_k7_at_16bit(spark, corpus):
+    """16-bit bands alone are pigeonhole-exact only for hamming ≤ 3; with
+    1-bit multi-probe they are exact for ≤ 2·4−1 = 7 — the web-scale
+    config. Verified against the brute-force hamming oracle."""
+    import itertools
+
+    from outcite_duplicate_detecting_spark.functions.hashing import (
+        fnv1a64_strings,
+        simhash64,
+    )
+    from outcite_duplicate_detecting_spark.functions.text import py_word_shingles
+
+    pdf, df = corpus
+    sigs = {
+        r.doc_id: simhash64(fnv1a64_strings(py_word_shingles(r.text, 2)))
+        for r in pdf.itertuples()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 7
+    }
+    cfg = SimHashConfig(bits_per_band=16, multi_probe=True)
+    assert cfg.exactness_holds()
+    verified, drops = simhash_pairs(df, cfg)
+    got = {(r["id1"], r["id2"]) for r in verified.collect()}
+    assert drops.count() == 0
+    assert got == want  # exact: no tail loss, no false positives
