@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from outcite_duplicate_detecting_spark.functions.text import (
+    duck_char_ngrams,
     duck_word_shingles,
 )
 from outcite_duplicate_detecting_spark.operators import dedup as _dedup
@@ -566,6 +567,47 @@ def q_gold_labels(spark, sf_dir):
     return lab.join(reps, "gold_id").select("doc_id", "gold_rep")
 
 
+def q_eval_grid(spark, sf_dir):
+    """The reference evaluation grid (8a_evaluate_all.sh:14-31): pairwise
+    P/R over size slices, one pass for all slices."""
+    from outcite_duplicate_detecting_spark.operators.evaluate import (
+        pairwise_pr_grid,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("gold"), F.col("lang").alias("label")
+    )
+    grid = [(1, None, None), (2, None, None), (1, 30, 1000)]
+    return pairwise_pr_grid(d, grid, id_col="doc_id")
+
+
+def q_best_rep(spark, sf_dir):
+    """Weighted top-grams + best-representative selection (reference
+    4_index_duplicates.py:71-99): per source group, the 40-char text prefix
+    whose char-3-gram set maximizes Jaccard with the group's top grams."""
+    from outcite_duplicate_detecting_spark.operators.bestrep import (
+        best_representative,
+        weighted_top_grams,
+    )
+
+    d = _docs(spark, sf_dir)
+    values = d.select(
+        F.col("source").alias("cluster_id"),
+        F.substring("text", 1, 40).alias("value"),
+    )
+    top = weighted_top_grams(
+        values, group_col="cluster_id", value_col="value", n=3, min_share_ppm=10_000
+    )
+    return best_representative(
+        values, top, group_col="cluster_id", value_col="value", n=3
+    ).select(
+        "cluster_id",
+        "best_value",
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("value_gram_size").cast("long").alias("value_gram_size"),
+    )
+
+
 def q_melt_attrs(spark, sf_dir):
     """flatten/pairfy (3_update_duplicateIDs.py:153-183): nested record →
     long-format attribute-value pairs, one schema-driven explode."""
@@ -683,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lattice_recall": q_lattice_recall,
         "gold_labels": q_gold_labels,
         "chargrams": q_chargrams,
+        "best_rep": q_best_rep,
+        "eval_grid": q_eval_grid,
         "melt_attrs": q_melt_attrs,
         "clean_int": q_clean_int,
         "gold_histogram": q_gold_histogram,
@@ -751,6 +795,37 @@ WITH scored AS (
 )
 SELECT doc_id, CASE {whens} ELSE 'en' END AS lang_pred FROM scored
 """
+
+
+def _eval_grid_slice_sql(mn: int, mxg, mxl) -> str:
+    gcond = f"gsz >= {mn}" + (f" AND gsz <= {mxg}" if mxg is not None else "")
+    lcond = f"lsz <= {mxl}" if mxl is not None else "TRUE"
+    lit = lambda v: "NULL::BIGINT" if v is None else f"{v}::BIGINT"  # noqa: E731
+    return f"""
+      SELECT {mn}::BIGINT AS min_gold_size, {lit(mxg)} AS max_gold_size,
+             {lit(mxl)} AS max_label_size, t_mass, p_mass, tp_mass,
+             (CASE WHEN p_mass > 0 THEN tp_mass * 1000000 // p_mass ELSE 0 END)::BIGINT AS precision_ppm,
+             (CASE WHEN t_mass > 0 THEN tp_mass * 1000000 // t_mass ELSE 0 END)::BIGINT AS recall_ppm,
+             (CASE WHEN p_mass + t_mass > 0 THEN 2 * tp_mass * 1000000 // (p_mass + t_mass) ELSE 0 END)::BIGINT AS f1_ppm
+      FROM (
+        WITH sized AS (
+          SELECT d.doc_id, d.source AS gold, d.lang AS label, g.gsz, l.lsz
+          FROM documents d
+          JOIN (SELECT source, count(*) AS gsz FROM documents GROUP BY source) g
+            ON d.source = g.source
+          JOIN (SELECT lang, count(*) AS lsz FROM documents GROUP BY lang) l
+            ON d.lang = l.lang
+        ),
+        kept AS (SELECT * FROM sized WHERE {gcond} AND {lcond}),
+        t AS (SELECT coalesce(sum(n * n), 0)::BIGINT AS t_mass
+              FROM (SELECT count(*) AS n FROM kept GROUP BY gold)),
+        p AS (SELECT coalesce(sum(n * n), 0)::BIGINT AS p_mass
+              FROM (SELECT count(*) AS n FROM kept GROUP BY label)),
+        tp AS (SELECT coalesce(sum(n * n), 0)::BIGINT AS tp_mass
+               FROM (SELECT count(*) AS n FROM kept GROUP BY gold, label))
+        SELECT t_mass, p_mass, tp_mass FROM t, p, tp
+      )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1186,6 +1261,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(grams)::BIGINT AS n_grams, grams[1] AS first_gram
             FROM g
         """,
+        "best_rep": f"""
+            WITH raw AS (
+              SELECT source AS cluster_id, substring(text, 1, 40) AS value
+              FROM documents
+            ),
+            vals AS (SELECT DISTINCT cluster_id, value FROM raw),
+            grams_raw AS (
+              SELECT cluster_id,
+                     unnest({duck_char_ngrams("value", 3)}) AS gram
+              FROM raw
+            ),
+            gw AS (
+              SELECT cluster_id, gram, count(*) AS gw
+              FROM grams_raw GROUP BY 1, 2
+            ),
+            tot AS (SELECT cluster_id, sum(gw) AS tot FROM gw GROUP BY 1),
+            top AS (
+              SELECT g.cluster_id, g.gram
+              FROM gw g JOIN tot t ON g.cluster_id = t.cluster_id
+              WHERE g.gw * 1000000 >= t.tot * 10000
+            ),
+            topsz AS (SELECT cluster_id, count(*) AS top_sz FROM top GROUP BY 1),
+            vgrams AS (
+              SELECT cluster_id, value,
+                     unnest({duck_char_ngrams("value", 3)}) AS gram
+              FROM vals
+            ),
+            inter AS (
+              SELECT vg.cluster_id, vg.value, count(*) AS inter_size
+              FROM vgrams vg JOIN top tp
+                ON vg.cluster_id = tp.cluster_id AND vg.gram = tp.gram
+              GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT v.cluster_id, v.value,
+                     coalesce(i.inter_size, 0) AS inter_size,
+                     len({duck_char_ngrams("v.value", 3)}) AS gsz,
+                     ts.top_sz
+              FROM vals v
+              JOIN topsz ts ON v.cluster_id = ts.cluster_id
+              LEFT JOIN inter i
+                ON v.cluster_id = i.cluster_id AND v.value = i.value
+            ),
+            scored AS (
+              SELECT cluster_id, value, inter_size, gsz,
+                     CASE WHEN gsz + top_sz - inter_size > 0
+                          THEN (inter_size * 1000000) // (gsz + top_sz - inter_size)
+                          ELSE 0 END AS jacc_ppm
+              FROM cand
+            )
+            SELECT cluster_id, value AS best_value,
+                   inter_size::BIGINT AS inter_size,
+                   gsz::BIGINT AS value_gram_size
+            FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY jacc_ppm DESC, value) AS rn FROM scored) t
+            WHERE rn = 1
+        """,
+        "eval_grid": " UNION ALL ".join(
+            _eval_grid_slice_sql(mn, mxg, mxl)
+            for mn, mxg, mxl in [(1, None, None), (2, None, None), (1, 30, 1000)]
+        ),
         "melt_attrs": """
             SELECT doc_id, attr, value FROM (
               SELECT doc_id, 'lang' AS attr, lang::VARCHAR AS value FROM documents

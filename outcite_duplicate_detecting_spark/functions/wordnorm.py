@@ -217,6 +217,17 @@ def authgrams_udf(n: int = 4):
     return ag
 
 
+def asciifolded_word_chargrams(col: Column | str, n: int = 4) -> Column:
+    """The reference's full get_char_ngrams(wordsep=True) composition
+    (B2_process_features.py:134-142): asciiDammit-fold, lowercase,
+    space→'_', per-word char n-grams — asciifold ∘ chargrams_per_word,
+    all Catalyst."""
+    from .textnorm import asciifold
+
+    c = F.col(col) if isinstance(col, str) else col
+    return chargrams_per_word(asciifold(c), n=n)
+
+
 def chargrams_per_word(col: Column | str, n: int = 4) -> Column:
     """Catalyst twin of py_chargrams_per_word for pre-folded text: per-word
     non-distinct char n-grams, short words contribute nothing."""

@@ -71,3 +71,82 @@ def pairwise_pr(
         ppm(F.col("tp_mass"), F.col("t_mass")).alias("recall_ppm"),
         ppm(2 * F.col("tp_mass"), F.col("p_mass") + F.col("t_mass")).alias("f1_ppm"),
     )
+
+
+def pairwise_pr_grid(
+    assignments: DataFrame,
+    grid: list[tuple[int, int | None, int | None]],
+    id_col: str = "id",
+    gold_col: str = "gold",
+    label_col: str = "label",
+) -> DataFrame:
+    """The reference's evaluation grid (8a_evaluate_all.sh:14-31 — nested
+    bash loops re-running the SQL evaluator per slice) in ONE pass.
+
+    ``grid``: (min_gold_size, max_gold_size|None, max_label_size|None)
+    slices. Group sizes are computed once; every slice's T/P/TP masses are
+    conditional aggregations over the same size-annotated row set — one
+    shuffle chain for the whole grid instead of |grid| jobs. Output: one
+    row per slice with the same columns as ``pairwise_pr``.
+    """
+    base = assignments.select(id_col, gold_col, label_col)
+    gold_sizes = base.groupBy(gold_col).agg(F.count("*").alias("gsz"))
+    label_sizes = base.groupBy(label_col).agg(F.count("*").alias("lsz"))
+    sized = base.join(gold_sizes, gold_col).join(label_sizes, label_col)
+    cells = sized.groupBy(gold_col, label_col).agg(
+        F.count("*").alias("n"),
+        F.first("gsz").alias("gsz"),
+        F.first("lsz").alias("lsz"),
+    )
+
+    def in_slice(mn: int, mxg: int | None, mxl: int | None):
+        cond = F.col("gsz") >= mn
+        if mxg is not None:
+            cond = cond & (F.col("gsz") <= mxg)
+        if mxl is not None:
+            cond = cond & (F.col("lsz") <= mxl)
+        return cond
+
+    # per-slice masses from the (gold, label) contingency cells: the rows
+    # kept by a slice regroup into per-gold (sum n)² and per-label (sum n)²
+    # masses — compute those with two slice-conditional aggregations
+    out_rows = []
+    for mn, mxg, mxl in grid:
+        cond = in_slice(mn, mxg, mxl)
+        kept = cells.where(cond)
+        t = kept.groupBy(gold_col).agg(F.sum("n").alias("s")).agg(
+            F.coalesce(F.sum(F.col("s") * F.col("s")), F.lit(0)).alias("t_mass")
+        )
+        p = kept.groupBy(label_col).agg(F.sum("n").alias("s")).agg(
+            F.coalesce(F.sum(F.col("s") * F.col("s")), F.lit(0)).alias("p_mass")
+        )
+        tp = kept.agg(
+            F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0)).alias("tp_mass")
+        )
+        row = (
+            t.crossJoin(p)
+            .crossJoin(tp)
+            .select(
+                F.lit(mn).cast("long").alias("min_gold_size"),
+                F.lit(mxg).cast("long").alias("max_gold_size"),
+                F.lit(mxl).cast("long").alias("max_label_size"),
+                F.col("t_mass").cast("long"),
+                F.col("p_mass").cast("long"),
+                F.col("tp_mass").cast("long"),
+            )
+        )
+        out_rows.append(row)
+    stacked = out_rows[0]
+    for r in out_rows[1:]:
+        stacked = stacked.unionByName(r)
+
+    def ppm(num, den):
+        a = (num * 1000000).cast("long")
+        return F.when(den > 0, (a - F.pmod(a, den)) / den).otherwise(F.lit(0)).cast("long")
+
+    return stacked.select(
+        "*",
+        ppm(F.col("tp_mass"), F.col("p_mass")).alias("precision_ppm"),
+        ppm(F.col("tp_mass"), F.col("t_mass")).alias("recall_ppm"),
+        ppm(2 * F.col("tp_mass"), F.col("p_mass") + F.col("t_mass")).alias("f1_ppm"),
+    )

@@ -89,13 +89,16 @@ def generalize_expand(
     rules = dict(scheme.rules)
     out_schema = df.select(id_col, *cols).schema
 
+    def _has(rec: dict, c: str) -> bool:
+        v = rec.get(c)
+        # pandas surfaces numeric NULLs as NaN (NaN != NaN), not None
+        return v is not None and v == v
+
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for rec in pdf.to_dict("records"):
-                present = [
-                    [c for c in g if rec.get(c) is not None] for g in groups
-                ]
+                present = [[c for c in g if _has(rec, c)] for g in groups]
                 lhs = tuple(len(p) for p in present)
                 for rhs in rules.get(lhs, []):
                     # every way of keeping rhs[i] of the lhs[i] populated
@@ -107,7 +110,7 @@ def generalize_expand(
                     for keeps in product(*keep_choices):
                         kept = {c for ch in keeps for c in ch}
                         if restrictions and not all(
-                            any(c in kept and rec.get(c) is not None for c in r)
+                            any(c in kept and _has(rec, c) for c in r)
                             for r in restrictions
                         ):
                             continue

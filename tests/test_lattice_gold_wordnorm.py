@@ -200,3 +200,14 @@ def test_chargrams_and_authgrams(spark):
     df = spark.createDataFrame([("ab cde",), ("smith",), ("x",)], "s string")
     got = [r["g"] for r in df.select(chargrams_per_word("s", 2).alias("g")).collect()]
     assert got == [py_chargrams_per_word(s, 2) for s in ("ab cde", "smith", "x")]
+
+
+def test_asciifolded_word_chargrams(spark):
+    from outcite_duplicate_detecting_spark.functions.wordnorm import (
+        asciifolded_word_chargrams,
+    )
+
+    df = spark.createDataFrame([("Müller Straße",)], "s string")
+    got = df.select(asciifolded_word_chargrams("s", 4).alias("g")).collect()[0]["g"]
+    # fold: 'muller strasse' → words [muller, strasse]
+    assert got == ["mull", "ulle", "ller", "stra", "tras", "rass", "asse"]

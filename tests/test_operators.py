@@ -179,3 +179,29 @@ def test_streaming_incremental(spark, tmp_path):
     sigs = spark.read.parquet(out)
     assert sigs.count() == 2
     assert len(sigs.first()["minhash_sig"]) == 128
+
+
+def test_pairwise_pr_grid_matches_single_slices(spark):
+    from outcite_duplicate_detecting_spark.operators.evaluate import (
+        pairwise_pr,
+        pairwise_pr_grid,
+    )
+
+    rows = [
+        (1, "g1", "a"), (2, "g1", "a"), (3, "g1", "b"),
+        (4, "g2", "b"), (5, "g2", "b"),
+        (6, "g3", "c"),
+    ]
+    df = spark.createDataFrame(rows, "id long, gold string, label string")
+    grid = [(1, None, None), (2, None, None), (1, 2, 2)]
+    got = {
+        (r["min_gold_size"], r["max_gold_size"], r["max_label_size"]): r
+        for r in pairwise_pr_grid(df, grid).collect()
+    }
+    for mn, mxg, mxl in grid:
+        single = pairwise_pr(
+            df, min_gold_size=mn, max_gold_size=mxg, max_label_size=mxl
+        ).collect()[0]
+        g = got[(mn, mxg, mxl)]
+        for c in ("t_mass", "p_mass", "tp_mass", "precision_ppm", "recall_ppm", "f1_ppm"):
+            assert g[c] == single[c], (mn, mxg, mxl, c, g[c], single[c])
