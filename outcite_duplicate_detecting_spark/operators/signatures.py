@@ -34,7 +34,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import fnv1a64_strings, minhash_params, minhash_signature, simhash64, to_i64, winnow
+from ..functions.hashing import (
+    fnv1a64_strings,
+    hash_shingles_from_word_hashes,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+    to_i64,
+    winnow,
+)
 from ..functions.text import py_words
 from .minhash import MinHashConfig
 from .simhash import SimHashConfig
@@ -48,35 +56,6 @@ SIG_SCHEMA = T.StructType(
         T.StructField("fingerprints", T.ArrayType(T.LongType())),
     ]
 )
-
-
-_POLY = np.uint64(0x100000001B3)  # FNV prime reused as the combiner base
-
-
-def hash_shingles_from_word_hashes(wh: np.ndarray, n: int) -> np.ndarray:
-    """Distinct n-gram shingle hashes from per-word hashes, no strings.
-
-    h(w_i..w_{i+n-1}) = fold of (h*(B) ^ next) — a 1:1 stand-in for the
-    shingle string (equal word sequences ⇒ equal hashes; 64-bit collisions
-    ~1e-14/pair). Computed as n-1 shifted-slice vector ops instead of
-    re-hashing every shingle's bytes — the dominant kernel saving of the
-    unified sign stage (string FNV over shingles costs ~0.9 ms/doc; this
-    costs ~0.02). Semantics twin of py_word_shingles: empty → one hash of
-    the empty sequence, short docs → one hash of all words, distinct only.
-    """
-    old = np.seterr(over="ignore")
-    try:
-        m = wh.size
-        if m == 0:
-            return np.full(1, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
-        eff_n = min(n, m)
-        length = m - eff_n + 1
-        h = wh[:length].copy()
-        for j in range(1, eff_n):
-            h = (h * _POLY) ^ wh[j : j + length]
-        return np.unique(h)
-    finally:
-        np.seterr(**old)
 
 
 def unified_signature_udf(

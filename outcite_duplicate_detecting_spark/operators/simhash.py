@@ -36,8 +36,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import fnv1a64_strings, simhash64
-from ..functions.text import char_ngrams, py_word_shingles, word_shingles
+from ..functions.hashing import (
+    fnv1a64_strings,
+    hash_shingles_from_word_hashes,
+    simhash64,
+)
+from ..functions.text import char_ngrams, py_word_shingles, py_words, word_shingles
 from .joins import PairGenResult, band_candidate_pairs
 
 
@@ -61,12 +65,17 @@ class SimHashConfig:
     multi_probe: bool = False
     max_bucket_size: int | None = 25000
     salt: int | None = None
-    # "python": shingle + FNV-hash + fold entirely inside one UDF; only the
-    # text column crosses Arrow — the scale path, and FNV-1a matches the
-    # reference's hash choice (simhash_components_disk_v3.py:159-177).
+    # "wordhash" (default, word features only): FNV-hash each word once,
+    # derive gram hashes from word hashes by vector arithmetic
+    # (functions/hashing.hash_shingles_from_word_hashes — the unified
+    # sign-stage kernel, ~45× cheaper than string-FNV over every gram).
+    # Signature VALUES differ from the string-FNV family but the Hamming
+    # structure is the same (equal word sequences ⇒ equal feature hashes).
+    # "python": gram strings built + FNV-1a-hashed in-UDF — bit-parity with
+    # the reference's hash choice (simhash_components_disk_v3.py:159-177).
     # "catalyst-xxhash64": grams + hashes as JVM expressions, UDF folds longs.
     # "catalyst-fnv1a": gram strings built JVM-side, hashed in-UDF.
-    hash_fn: str = "python"
+    hash_fn: str = "wordhash"
 
     @property
     def bands(self) -> int:
@@ -133,7 +142,20 @@ def add_simhash(
     Char-gram mode kept for char-noise-dominated corpora — but note that on
     narrow-vocabulary text the char-gram *set* of unrelated documents
     largely coincides, which makes char-gram simhash collide at k=7."""
-    if cfg.hash_fn == "python":
+    if cfg.hash_fn == "wordhash" and cfg.feature == "word":
+        n = cfg.gram_n
+
+        @F.pandas_udf(T.LongType())
+        def sign_wordhash(texts: pd.Series) -> pd.Series:
+            out = np.empty(len(texts), dtype=np.uint64)
+            for i, t in enumerate(texts):
+                wh = fnv1a64_strings(py_words(t))
+                out[i] = simhash64(hash_shingles_from_word_hashes(wh, n))
+            return pd.Series(out.view(np.int64))
+
+        return df.withColumn(out_col, sign_wordhash(F.col(text_col)))
+
+    if cfg.hash_fn in ("python", "wordhash"):
         n, feature = cfg.gram_n, cfg.feature
 
         @F.pandas_udf(T.LongType())

@@ -66,13 +66,17 @@ class PipelineConfig:
     minhash: MinHashConfig = field(
         default_factory=lambda: MinHashConfig(num_perm=64, bands=16)
     )
-    # 16-bit simhash bands: the web-scale setting (collisions 1/65536 vs
-    # 1/256 ⇒ candidate volume drops ~256×). Pigeonhole-exact for hamming
-    # ≤ 3; the 4..7 tail is partially covered here and overlaps the MinHash
-    # detector's Jaccard regime. Reference-parity 8×8 (exact ≤ 7) remains
-    # the SimHashConfig() default for standalone use.
+    # 16-bit simhash bands + 1-bit multi-probe: THE web-scale setting.
+    # Band keys collide at 1/65536 (~256× fewer random candidates than
+    # 8-bit blocks) while multi-probe restores pigeonhole EXACTNESS for the
+    # full hamming ≤ 7 radius (k ≤ 2·bands−1; plain 16-bit banding is exact
+    # only to k ≤ 3 and would leave the 4..7 tail riding on MinHash
+    # overlap). Posting volume: 4 bands × 17 probe variants ≈ 68 rows/doc
+    # on the query side vs 8 exact-band rows — still ~30× fewer candidate
+    # JOIN hits than 8-bit blocks at web scale. Reference-parity 8×8
+    # (exact ≤ 7) remains the SimHashConfig() default for standalone use.
     simhash: SimHashConfig = field(
-        default_factory=lambda: SimHashConfig(bits_per_band=16)
+        default_factory=lambda: SimHashConfig(bits_per_band=16, multi_probe=True)
     )
     substring: SubstringConfig = field(default_factory=SubstringConfig)
     use_minhash: bool = True

@@ -127,15 +127,50 @@ def brute_simhash_pairs(pdf, k=7, n=2):
 
 
 def test_simhash_pigeonhole_exact_fnv(spark, corpus):
-    """default (python/FNV) mode: signatures bit-match the reference fold."""
+    """python/string-FNV mode: signatures bit-match the reference fold."""
     pdf, df = corpus
     want = brute_simhash_pairs(pdf, k=7)
-    cfg = SimHashConfig(hamming_k=7)
+    cfg = SimHashConfig(hamming_k=7, hash_fn="python")
     assert cfg.exactness_holds()
     verified, drops = simhash_pairs(df, cfg)
     got = {(r["id1"], r["id2"]) for r in verified.collect()}
     assert drops.count() == 0
     assert got == want  # pigeonhole ⇒ EXACT, not approximate
+
+
+def brute_wordhash_simhash_sigs(pdf, n=2):
+    """Brute signatures under the default wordhash kernel (the unified
+    sign-stage hash family: FNV per word, shifted-slice gram combiner)."""
+    from outcite_duplicate_detecting_spark.functions.hashing import (
+        hash_shingles_from_word_hashes,
+    )
+    from outcite_duplicate_detecting_spark.functions.text import py_words
+
+    return {
+        r.doc_id: simhash64(
+            hash_shingles_from_word_hashes(fnv1a64_strings(py_words(r.text)), n)
+        )
+        for r in pdf.itertuples()
+    }
+
+
+def test_simhash_pigeonhole_exact_wordhash_default(spark, corpus):
+    """default (wordhash-kernel) mode: the band join finds exactly the ≤k
+    pairs of the kernel's signatures (pigeonhole), verified brute-force."""
+    pdf, df = corpus
+    sigs = brute_wordhash_simhash_sigs(pdf)
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(sigs))
+        for b in sorted(sigs)[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 7
+    }
+    cfg = SimHashConfig(hamming_k=7)
+    assert cfg.hash_fn == "wordhash" and cfg.exactness_holds()
+    verified, drops = simhash_pairs(df, cfg)
+    got = {(r["id1"], r["id2"]) for r in verified.collect()}
+    assert drops.count() == 0
+    assert got == want
 
 
 def test_simhash_pigeonhole_exact_xxhash(spark, corpus):
@@ -236,17 +271,8 @@ def test_simhash_multiprobe_exact_k7_at_16bit(spark, corpus):
     config. Verified against the brute-force hamming oracle."""
     import itertools
 
-    from outcite_duplicate_detecting_spark.functions.hashing import (
-        fnv1a64_strings,
-        simhash64,
-    )
-    from outcite_duplicate_detecting_spark.functions.text import py_word_shingles
-
     pdf, df = corpus
-    sigs = {
-        r.doc_id: simhash64(fnv1a64_strings(py_word_shingles(r.text, 2)))
-        for r in pdf.itertuples()
-    }
+    sigs = brute_wordhash_simhash_sigs(pdf)
     want = {
         (a, b)
         for a, b in itertools.combinations(sorted(sigs), 2)

@@ -137,6 +137,35 @@ def test_lattice_pair_recall(spark, poset):
     assert row2["tp"] == 5 and row2["t"] == 9
 
 
+def test_lattice_pair_recall_fanin_cap(spark, poset):
+    """Hot-superset guard: supersets over the fan-in cap are excluded from
+    the reached self-join and accounted in drops — recall only ever drops
+    (conservative), and a no-op cap leaves the result exactly unchanged."""
+    from outcite_duplicate_detecting_spark.operators.containment import (
+        lattice_pair_recall_with_drops,
+    )
+
+    pairs = containment_pairs(poset)
+    edges = minel_superset_edges(pairs)
+    nodes = spark.createDataFrame([(1, "g1"), (2, "g1")], "id long, gold string")
+
+    # supersets 3 and 4 each have fan-in 2 (minels 1 and 2), superset 5 has
+    # fan-in 1; reflexive self-edges add dst=1, dst=2 at fan-in 1.
+    out, drops = lattice_pair_recall_with_drops(edges, nodes, max_fanin=1)
+    dropped = {(r["dst"], r["fan_in"]) for r in drops.collect()}
+    assert dropped == {(3, 2), (4, 2)}
+    row = out.collect()[0]
+    # cross pairs (1,2),(2,1) rode only on dropped supersets → TP=2 (the
+    # reflexive pairs survive), T=4: understated, never overstated
+    assert row["tp"] == 2 and row["t"] == 4
+
+    # cap above every fan-in: drops empty, result identical to uncapped
+    capped, drops2 = lattice_pair_recall_with_drops(edges, nodes, max_fanin=100)
+    uncapped, _ = lattice_pair_recall_with_drops(edges, nodes, max_fanin=None)
+    assert drops2.count() == 0
+    assert capped.collect() == uncapped.collect()
+
+
 # ------------------------------------------------------------ gold links
 
 def test_gold_labels(spark):

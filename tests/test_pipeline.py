@@ -100,6 +100,45 @@ def test_pipeline_resume_identical(spark, run, tmp_path):
     assert stages <= set(os.listdir(workdir))
 
 
+def test_pipeline_simhash_config_covers_hamming_tail(spark):
+    """The SHIPPED pipeline simhash config (16-bit bands + 1-bit
+    multi-probe) must be pigeonhole-EXACT over the full hamming ≤7 radius.
+    Pairs in the 4..7 band are typically low-Jaccard — outside the MinHash
+    regime — so without multi-probe they would only be caught
+    probabilistically. Plants pairs at exactly hamming 4, 5, 6, 7."""
+    import random
+
+    from outcite_duplicate_detecting_spark.operators.simhash import (
+        hamming_verify,
+        simhash_candidate_pairs,
+    )
+
+    cfg = PipelineConfig().simhash
+    assert cfg.multi_probe and cfg.bits_per_band == 16
+    assert cfg.exactness_holds()
+
+    def i64(u):
+        return u - 2**64 if u >= 2**63 else u
+
+    rng = random.Random(99)
+    rows, want, next_id = [], set(), 0
+    for k in range(4, 8):
+        for _ in range(8):
+            sig = rng.getrandbits(64)
+            flip = sum(1 << b for b in rng.sample(range(64), k))
+            rows.append((next_id, i64(sig)))
+            rows.append((next_id + 1, i64(sig ^ flip)))
+            want.add((next_id, next_id + 1))
+            next_id += 2
+    signed = spark.createDataFrame(rows, "id long, simhash long")
+    cands = simhash_candidate_pairs(signed, cfg, id_col="id")
+    got = {
+        (r["id1"], r["id2"])
+        for r in hamming_verify(cands.pairs, signed, cfg).collect()
+    }
+    assert want <= got  # every planted 4..7 pair caught — exact tail coverage
+
+
 def test_pipeline_detects_config_change(spark, run):
     """Changing the detector config must invalidate the checkpoint, not
     silently reuse it."""
