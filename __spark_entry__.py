@@ -664,6 +664,43 @@ def q_chargrams(spark, sf_dir):
     )
 
 
+_SECTION_STOPWORDS = ["the", "of", "and"]
+
+
+def q_text_sections(spark, sf_dir):
+    """Subtitle/stopword section split (B2_process_features.py:76-77,
+    160-161): per doc, section count and first section."""
+    from outcite_duplicate_detecting_spark.functions.textnorm import text_sections
+
+    d = _docs(spark, sf_dir)
+    sec = text_sections(F.col("text"), _SECTION_STOPWORDS)
+    return d.select(
+        "doc_id",
+        F.size(sec).cast("long").alias("n_sections"),
+        F.element_at(sec, 1).alias("first_section"),
+    )
+
+
+def q_gold_samples(spark, sf_dir):
+    """Bounded equal/different gold pair sampling (reference get_samples,
+    common.py:376-403) over source-derived gold groups; caps chosen so
+    every cap binds at sf0.01."""
+    from outcite_duplicate_detecting_spark.operators.evaluate import (
+        gold_pair_samples,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("source").alias("gold")
+    )
+    return gold_pair_samples(
+        d,
+        max_equivs_per_gold_label=5,
+        max_equivs=60,
+        max_diffs_per_gold_pair=3,
+        max_diffs=40,
+    )
+
+
 def q_pairwise_verify(spark, sf_dir):
     """Reference stage-3 rule classifier over within-cluster pairs
     (difflib distances → rows-only check)."""
@@ -730,12 +767,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_attrs": q_melt_attrs,
         "clean_int": q_clean_int,
         "gold_histogram": q_gold_histogram,
+        "text_sections": q_text_sections,
+        "gold_samples": q_gold_samples,
     }
 
 
 # ------------------------------------------------------------- oracle SQL
 
 _SHINGLES = duck_word_shingles("text", SHINGLE_N)
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of the full simhash detector at SimHashConfig()
+    defaults (word bigrams, wordhash kernel, hamming ≤ 7): FNV-1a 64 per
+    word via list_reduce over code points (the testdata is ASCII, so code
+    points equal UTF-8 bytes), the shifted-multiply gram combiner of
+    hashing.hash_shingles_from_word_hashes, the strict-majority bit fold
+    of hashing.simhash64, then brute-force bit_count(xor) ≤ k pairs — the
+    band join is pigeonhole-exact, so the sets agree identically. 64-bit
+    wraparound is emulated with HUGEINT intermediates mod 2^64."""
+    offset, prime, m64 = 14695981039346656037, 1099511628211, 2**64
+    fnv = (
+        "list_reduce("
+        f"list_prepend({offset}::HUGEINT, "
+        "list_transform(range(1, length(w) + 1), i -> unicode(substring(w, i, 1))::HUGEINT)), "
+        f"(h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * {prime}) % {m64}::HUGEINT)"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_WORDS} AS ws FROM documents
+),
+hashed AS (
+  SELECT doc_id, len(ws) AS m,
+         list_transform(ws, w -> ({fnv})::UBIGINT) AS wh
+  FROM docs
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN m = 0 THEN [{offset}::UBIGINT]
+              WHEN m = 1 THEN [wh[1]]
+              ELSE list_distinct(list_transform(range(1, m),
+                i -> xor(((wh[i]::HUGEINT * {prime}) % {m64})::UBIGINT, wh[i + 1])))
+         END AS hs
+  FROM hashed
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b::INT) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE 0 END) AS cnt,
+         count(*) AS n
+  FROM (SELECT doc_id, unnest(hs) AS h FROM sh), range(0, 64) t(b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt * 2 > n THEN (1::UBIGINT << b::INT)::HUGEINT ELSE 0::HUGEINT END) AS sig_u
+  FROM bits GROUP BY doc_id
+),
+signed AS (
+  SELECT doc_id,
+         (CASE WHEN sig_u >= {m64 // 2}::HUGEINT THEN sig_u - {m64}::HUGEINT ELSE sig_u END)::BIGINT AS sig
+  FROM sigs
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming_dist
+FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 7
+"""
 
 _JACCARD_PAIRS = f"""
 WITH sh AS (
@@ -887,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": _JACCARD_PAIRS,
         "dedup_minhash_lsh": _JACCARD_PAIRS,
+        "dedup_simhash": _simhash_oracle_sql(),
         "dedup_substring": """
             SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
             FROM documents a JOIN documents b
@@ -1342,7 +1440,75 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT source, count(*) AS n FROM documents GROUP BY source) t
             GROUP BY n
         """,
-        # dedup_simhash, ann_lsh_cosine, pairwise_verify:
-        # signature/difflib-dependent — not SQL-expressible; the driver
-        # records rows-only checks (each is pytest-oracled in tests/).
+        "text_sections": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     flatten(list_transform(
+                       string_split_regex(text, '\. |: | -+ |\? '),
+                       t -> string_split_regex(t, '&|\.|\,|\bthe\b|\bof\b|\band\b')
+                     )) AS secs
+              FROM documents
+            )
+            SELECT doc_id, len(secs)::BIGINT AS n_sections, secs[1] AS first_section
+            FROM s
+        """,
+        "gold_samples": """
+            WITH m AS (SELECT doc_id AS m, source AS g FROM documents),
+            mem AS (
+              SELECT m, g, row_number() OVER (PARTITION BY g ORDER BY m) AS mrank
+              FROM m
+            ),
+            labr AS (
+              SELECT g, n, row_number() OVER (ORDER BY first_m) AS lrank FROM (
+                SELECT g, min(m) AS first_m, count(*) AS n FROM m GROUP BY g) t
+            ),
+            eqlab AS (
+              SELECT g, n, least(n * (n - 1) // 2, 5) AS mass,
+                     coalesce(sum(least(n * (n - 1) // 2, 5)) OVER (
+                       ORDER BY lrank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS prior
+              FROM labr
+            ),
+            eqpairs AS (
+              SELECT a.m AS m1, b.m AS m2
+              FROM mem a
+              JOIN mem b ON a.g = b.g AND a.mrank < b.mrank
+              JOIN eqlab e ON a.g = e.g
+              WHERE e.prior < 60 AND e.mass > 0
+                AND (a.mrank - 1) * e.n - a.mrank * (a.mrank - 1) // 2
+                    + (b.mrank - a.mrank) <= 5
+            ),
+            dpairs AS (
+              SELECT l1.g AS g1, l2.g AS g2, l1.n AS n1, l2.n AS n2,
+                     l1.lrank AS r1, l2.lrank AS r2,
+                     least(l1.n * l2.n, 3) AS mass
+              FROM labr l1 JOIN labr l2 ON l1.lrank < l2.lrank
+            ),
+            dkeep AS (
+              SELECT * FROM (
+                SELECT *, coalesce(sum(mass) OVER (
+                  ORDER BY r1, r2 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS prior FROM dpairs) t
+              WHERE prior < 40
+            ),
+            marr AS (
+              SELECT g, list_sort(list(m)) AS ms FROM mem WHERE mrank <= 4 GROUP BY g
+            ),
+            dexp AS (
+              SELECT d.n2, ma.ms AS ms1, mb.ms AS ms2,
+                     unnest(range(0, d.mass)) AS k
+              FROM dkeep d
+              JOIN marr ma ON d.g1 = ma.g
+              JOIN marr mb ON d.g2 = mb.g
+            )
+            SELECT m1, m2, TRUE AS is_equivalent FROM eqpairs
+            UNION ALL
+            SELECT ms1[(k // n2)::INT + 1] AS m1,
+                   ms2[(k % n2)::INT + 1] AS m2,
+                   FALSE AS is_equivalent
+            FROM dexp
+        """,
+        # ann_lsh_cosine, pairwise_verify: RNG-hyperplane/difflib-dependent
+        # — not SQL-expressible; the driver records rows-only checks (each
+        # is pytest-oracled in tests/).
     }

@@ -150,3 +150,162 @@ def pairwise_pr_grid(
         ppm(F.col("tp_mass"), F.col("t_mass")).alias("recall_ppm"),
         ppm(2 * F.col("tp_mass"), F.col("p_mass") + F.col("t_mass")).alias("f1_ppm"),
     )
+
+
+def gold_pair_samples(
+    df: DataFrame,
+    id_col: str = "id",
+    gold_col: str = "gold",
+    max_equivs_per_gold_label: int = 1000,
+    max_equivs: int = 10000,
+    max_diffs_per_gold_pair: int = 10,
+    max_diffs: int = 10000,
+) -> DataFrame:
+    """Bounded equal/different gold pair sampling — the reference's
+    ``get_samples`` (/root/reference/code/common.py:376-403), its
+    threshold-tuning input. Output: (m1, m2, is_equivalent).
+
+    Reference semantics preserved exactly:
+    - mention order = ascending ``id_col`` (the reference's array index),
+      label order = order of first appearance (min member id);
+    - equivalents: per gold label, ``itertools.combinations`` of members
+      in order, first ``max_equivs_per_gold_label`` kept; labels processed
+      while the running total is still < ``max_equivs`` (the reference
+      checks AFTER adding a label's batch, so the final batch may overshoot
+      — mirrored here via the exclusive-prefix mass window);
+    - differents: label pairs in ``combinations(labels, 2)`` order, the
+      row-major member product capped at ``max_diffs_per_gold_pair`` each,
+      processed while the running total is < ``max_diffs``.
+
+    Scale design: the global caps admit at most ``max_equivs`` /
+    ``max_diffs`` label (pairs), so the label-pair space is never
+    enumerated — eligible (rank1, rank2) windows are derived in closed form
+    from the count lower bound (every processed pair contributes ≥ 1
+    sample), then exact mass prefix sums decide inclusion. Member lists
+    are truncated to the per-group cap + 1 before collection (the sample
+    prefix can never reach further), so no unbounded collect_list.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    m = df.select(F.col(id_col).alias("m"), F.col(gold_col).alias("g"))
+    w_m = Window.partitionBy("g").orderBy("m")
+    members = m.withColumn("mrank", F.row_number().over(w_m))
+
+    lab = m.groupBy("g").agg(F.min("m").alias("first_m"), F.count("*").alias("n"))
+    w_lab = Window.orderBy("first_m")
+    lab = lab.withColumn("lrank", F.row_number().over(w_lab)).localCheckpoint(
+        eager=False
+    )
+
+    # ---- equivalents: labels kept while the exclusive prefix mass < cap
+    eq_mass = F.least(
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long"),
+        F.lit(max_equivs_per_gold_label).cast("long"),
+    )
+    w_rank = Window.orderBy("lrank")
+    lab_eq = (
+        lab.withColumn("mass", eq_mass)
+        .withColumn(
+            "prior",
+            F.coalesce(
+                F.sum("mass").over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .where((F.col("prior") < max_equivs) & (F.col("mass") > 0))
+        .select("g", "mass")
+    )
+    eq_members = members.join(lab_eq.select("g"), "g", "left_semi").where(
+        F.col("mrank") <= max_equivs_per_gold_label + 1
+    )
+
+    cap_pl = max_equivs_per_gold_label
+
+    def gen_combos(pdf: pd.DataFrame) -> pd.DataFrame:
+        ms = sorted(pdf["m"].tolist())
+        out = []
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                out.append((ms[i], ms[j]))
+                if len(out) >= cap_pl:
+                    break
+            if len(out) >= cap_pl:
+                break
+        return pd.DataFrame(out, columns=["m1", "m2"]) if out else pd.DataFrame(
+            {"m1": pd.Series(dtype="int64"), "m2": pd.Series(dtype="int64")}
+        )
+
+    equivs = eq_members.groupBy("g").applyInPandas(gen_combos, "m1 long, m2 long")
+
+    # ---- differents: eligible (r1, r2) windows from the count lower bound
+    n_labels = lab.count()
+    r1 = F.col("lrank")
+    # label pairs strictly before (r1, r1+1) in combinations order
+    base_prior = ((r1 - 1) * n_labels - r1 * (r1 - 1) / 2).cast("long")
+    cand = (
+        lab.select(
+            F.col("g").alias("g1"),
+            F.col("lrank").alias("r1"),
+            F.col("n").alias("n1"),
+            base_prior.alias("base_prior"),
+        )
+        .where(F.col("base_prior") < max_diffs)
+        .withColumn(
+            "r2",
+            F.explode(
+                F.sequence(
+                    F.col("r1") + 1,
+                    F.least(
+                        F.lit(n_labels).cast("long"),
+                        F.col("r1") + (max_diffs - F.col("base_prior")),
+                    ),
+                )
+            ),
+        )
+    )
+    pairs_lab = cand.join(
+        lab.select(
+            F.col("g").alias("g2"), F.col("lrank").alias("r2"), F.col("n").alias("n2")
+        ),
+        "r2",
+    )
+    diff_mass = F.least(
+        (F.col("n1") * F.col("n2")).cast("long"),
+        F.lit(max_diffs_per_gold_pair).cast("long"),
+    )
+    w_pair = Window.orderBy("r1", "r2")
+    kept_pairs = (
+        pairs_lab.withColumn("mass", diff_mass)
+        .withColumn(
+            "prior",
+            F.coalesce(
+                F.sum("mass").over(w_pair.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .where(F.col("prior") < max_diffs)
+        .select("g1", "g2", "n1", "n2", "mass")
+    )
+    # first cap+1 members of each label are enough for any product prefix
+    mem_arr = (
+        members.where(F.col("mrank") <= max_diffs_per_gold_pair + 1)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    )
+    with_members = kept_pairs.join(
+        mem_arr.select(F.col("g").alias("g1"), F.col("ms").alias("ms1")), "g1"
+    ).join(mem_arr.select(F.col("g").alias("g2"), F.col("ms").alias("ms2")), "g2")
+    # row-major product prefix: sample k → (k // n2, k % n2), pure Catalyst
+    k = F.explode(F.sequence(F.lit(0).cast("long"), F.col("mass") - 1))
+    diffs = (
+        with_members.select("ms1", "ms2", F.col("n2"), k.alias("k"))
+        .select(
+            F.element_at("ms1", (F.col("k") / F.col("n2")).cast("int") + 1).alias("m1"),
+            F.element_at("ms2", (F.col("k") % F.col("n2")).cast("int") + 1).alias("m2"),
+        )
+    )
+
+    return equivs.withColumn("is_equivalent", F.lit(True)).unionByName(
+        diffs.withColumn("is_equivalent", F.lit(False))
+    )

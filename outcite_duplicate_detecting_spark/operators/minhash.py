@@ -165,7 +165,20 @@ def verify_jaccard(
 
     shingled: (id, shingle_hashes). Output: (id1, id2, inter_size,
     union_size) with Jaccard ≥ cfg.threshold, integer-exact comparison.
+
+    The shingle table is first pruned to ids that occur in some candidate
+    pair: candidates are sparse (LSH at a high threshold touches a small
+    fraction of the corpus), the id list is bytes-per-candidate
+    (broadcastable — AQE picks), and the pruning keeps the KB-sized
+    shingle arrays of non-candidates out of the two verify-join shuffles —
+    measured 54s → 21s at 8 cores / 360k reps.
     """
+    cand_ids = (
+        pairs.select(F.col("id1").alias(id_col))
+        .unionByName(pairs.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    shingled = shingled.join(cand_ids, id_col, "left_semi")
     s1 = shingled.select(F.col(id_col).alias("id1"), F.col("shingle_hashes").alias("sh1"))
     s2 = shingled.select(F.col(id_col).alias("id2"), F.col("shingle_hashes").alias("sh2"))
     joined = pairs.join(s1, "id1").join(s2, "id2")

@@ -187,11 +187,17 @@ def add_simhash(
 
 
 def block_postings(
-    df: DataFrame, cfg: SimHashConfig, id_col: str = "id", sig_col: str = "simhash"
+    df: DataFrame,
+    cfg: SimHashConfig,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+    keep_sig: bool = False,
 ) -> DataFrame:
     """(id, band_idx, band_key): band_key = the band's bits of the signature.
 
-    Pure JVM bit ops: shiftrightunsigned + mask — no UDF."""
+    Pure JVM bit ops: shiftrightunsigned + mask — no UDF. ``keep_sig``
+    carries the full signature through (8 bytes/posting) so the band join
+    can verify Hamming distance in-join (``simhash_pairs`` fused path)."""
     w = cfg.bits_per_band
     mask = (1 << w) - 1
     bands = F.array(
@@ -205,8 +211,12 @@ def block_postings(
             for bi in range(cfg.bands)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(bands).alias("b")).select(
-        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    extra = [F.col(sig_col).alias("sig")] if keep_sig else []
+    return df.select(
+        F.col(id_col).alias("id"), *extra, F.explode(bands).alias("b")
+    ).select(
+        "id", *(["sig"] if keep_sig else []),
+        F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"),
     )
 
 
@@ -223,23 +233,88 @@ def simhash_pairs(
     """(verified_pairs, dropped_buckets).
 
     verified_pairs: (id1, id2, hamming_dist), id1 < id2, Hamming ≤ k over
-    the 64-bit signatures. With the default 8×8 block config this is the
-    EXACT set of ≤k pairs (pigeonhole) up to bucket-cap drops.
+    the 64-bit signatures. With the default 8×8 block config (or 16-bit
+    bands + multi-probe) this is the EXACT set of ≤k pairs (pigeonhole) up
+    to bucket-cap drops. Uses the fused join-verify
+    (``simhash_verified_pairs``): no candidate materialization.
     """
     cfg = cfg or SimHashConfig()
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    # eager materialization: feeds block postings AND both verify sides
+    # eager materialization: feeds both sides of the band self-join
     signed = (
         add_simhash(base, cfg, text_col="text")
         .select("id", "simhash")
         .localCheckpoint(eager=True)
     )
-    cands = simhash_candidate_pairs(signed, cfg, id_col="id")
-    return hamming_verify(cands.pairs, signed, cfg), cands.drops
+    return simhash_verified_pairs(signed, cfg, id_col="id")
+
+
+def simhash_verified_pairs(
+    signed: DataFrame, cfg: SimHashConfig, id_col: str = "id", sig_col: str = "simhash"
+) -> tuple[DataFrame, DataFrame]:
+    """Band join and Hamming verification FUSED into one operator:
+    (verified_pairs, dropped_buckets).
+
+    The postings carry the 8-byte signature, so the band equi-join's output
+    rows are filtered by ``bit_count(sig1 xor sig2) ≤ k`` inside whole-stage
+    codegen BEFORE anything materializes. Versus the candidates-then-verify
+    composition (``simhash_candidate_pairs`` + ``hamming_verify``) this
+    removes the candidate-pair distinct shuffle and two signature
+    join-backs — at multi-probe candidate volumes (n²·(w+1)/2^w per band on
+    uniform signatures) those dominate the detector: measured 65.7M
+    candidate rows → 231s at 8 cores for 400k docs, vs the same exact
+    output through this path with the only shuffle being the postings
+    exchange (+8 bytes/row). The surviving pair set is tiny (verified
+    pairs), so the final distinct is cheap.
+
+    Multi-probe orientation note: a ≤1-bit-flipped band matches in BOTH
+    probe directions (XOR is symmetric — probe(a) hits band(b) iff
+    probe(b) hits band(a)), so the plain ``id1 < id2`` predicate keeps
+    exactly one instance of every pair; no double-orientation pass needed.
+    """
+    postings = block_postings(signed, cfg, id_col=id_col, sig_col=sig_col, keep_sig=True)
+    left = (
+        probe_block_postings(signed, cfg, id_col=id_col, sig_col=sig_col, keep_sig=True)
+        if cfg.multi_probe
+        else postings
+    )
+    key_cols = ["band_idx", "band_key"]
+    if cfg.max_bucket_size is not None:
+        sizes = postings.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
+        drops = sizes.filter(F.col("bucket_size") > cfg.max_bucket_size)
+        postings = postings.join(
+            F.broadcast(drops.select(*key_cols)), on=key_cols, how="left_anti"
+        )
+        left = (
+            left.join(F.broadcast(drops.select(*key_cols)), on=key_cols, how="left_anti")
+            if cfg.multi_probe
+            else postings
+        )
+    else:
+        drops = (
+            postings.select(*key_cols)
+            .limit(0)
+            .withColumn("bucket_size", F.lit(0).cast("long"))
+        )
+    a = left.select(*key_cols, F.col("id").alias("id1"), F.col("sig").alias("sig1"))
+    b = postings.select(*key_cols, F.col("id").alias("id2"), F.col("sig").alias("sig2"))
+    verified = (
+        a.join(b, on=key_cols)
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("hamming_dist", hamming(F.col("sig1"), F.col("sig2")).cast("int"))
+        .where(F.col("hamming_dist") <= cfg.hamming_k)
+        .select("id1", "id2", "hamming_dist")
+        .distinct()
+    )
+    return verified, drops
 
 
 def probe_block_postings(
-    df: DataFrame, cfg: SimHashConfig, id_col: str = "id", sig_col: str = "simhash"
+    df: DataFrame,
+    cfg: SimHashConfig,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+    keep_sig: bool = False,
 ) -> DataFrame:
     """Query-side postings for 1-bit multi-probe: every band value plus its
     ``bits_per_band`` single-bit flips — pure JVM bit ops."""
@@ -255,8 +330,12 @@ def probe_block_postings(
             )
             for v in variants
         ]
-    return df.select(F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("b")).select(
-        "id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    extra = [F.col(sig_col).alias("sig")] if keep_sig else []
+    return df.select(
+        F.col(id_col).alias("id"), *extra, F.explode(F.array(*entries)).alias("b")
+    ).select(
+        "id", *(["sig"] if keep_sig else []),
+        F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"),
     )
 
 

@@ -123,7 +123,15 @@ def containment_verify(
     length(inner) ≥ min_len. Single pass: the contain UDF runs once per
     candidate and both directions are emitted from one evaluation (a
     where/union pair would re-run the candidate join and the UDF per
-    branch)."""
+    branch). The text table is pruned to candidate participants first —
+    candidates are sparse, the id list broadcasts, and non-candidate texts
+    stay out of both verify-join shuffles (the verify_jaccard pattern)."""
+    cand_ids = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionByName(pairs.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    base = base.join(cand_ids, "id", "left_semi")
     t1 = base.select(F.col("id").alias("id1"), F.col("text").alias("t1"))
     t2 = base.select(F.col("id").alias("id2"), F.col("text").alias("t2"))
     paired = pairs.join(t1, "id1").join(t2, "id2")

@@ -165,19 +165,30 @@ def dedup_pipeline(
             .select("doc_id", "url", "rep_id")
         )
 
-    membership, _ = stage("membership", _membership)
+    # membership depends only on collapse and is not consumed until expand —
+    # run it on a side thread so its join overlaps the sign/detector phase
+    # instead of serializing the critical path (Spark schedules jobs from
+    # multiple driver threads concurrently)
+    membership_pool = ThreadPoolExecutor(max_workers=1)
+    membership_fut = membership_pool.submit(stage, "membership", _membership)
     # detectors are UDF-bound, not byte-bound: spread them over the cores
     # rather than letting AQE coalesce the (small-on-disk) checkpoint files
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
-    # eager checkpoint: the sign stage and the substring verify both
-    # consume reps; materializing once avoids re-reads of the collapse
-    # checkpoint
     reps = (
         collapsed.select("rep_id", "text", "freq")
         .where(F.length("text") >= cfg.min_text_chars)
         .repartition(n_parts, "rep_id")
-        .localCheckpoint(eager=True)
     )
+    if not cfg.checkpoint_stages:
+        # light mode: materialize once for the sign stage + substring
+        # verify. In checkpoint mode `collapsed` is already parquet-backed,
+        # so consumers re-read the (cheap, columnar) checkpoint instead of
+        # pinning the corpus text as block-manager RDD blocks for the whole
+        # detector phase — localCheckpoint blocks are evictable under the
+        # concurrent detectors' execution-memory pressure, and a "checkpoint
+        # block not found" then kills the job (observed at 800k docs on a
+        # 2-core leg)
+        reps = reps.localCheckpoint(eager=True)
 
     # --- sign: ONE Arrow pass computes every detector's signature
     # (operators/signatures.py): one text transfer, one shingling, one
@@ -185,7 +196,7 @@ def dedup_pipeline(
     # stage checkpoint then serves each detector via column pruning.
     from ..operators.minhash import minhash_candidate_pairs, verify_jaccard
     from ..operators.signatures import add_all_signatures
-    from ..operators.simhash import hamming_verify, simhash_candidate_pairs
+    from ..operators.simhash import simhash_verified_pairs
     from ..operators.substring import containment_verify
     from ..operators.joins import band_candidate_pairs
 
@@ -215,9 +226,12 @@ def dedup_pipeline(
         )
 
     def _simhash() -> DataFrame:
+        # fused join-verify: Hamming filter runs inside the band join's
+        # codegen — no candidate materialization (critical at multi-probe
+        # posting volumes)
         s = signed.select(F.col("rep_id").alias("id"), "simhash")
-        cands = simhash_candidate_pairs(s, cfg.simhash, id_col="id")
-        return hamming_verify(cands.pairs, s, cfg.simhash)
+        verified, _drops = simhash_verified_pairs(s, cfg.simhash, id_col="id")
+        return verified
 
     def _substring() -> DataFrame:
         fps = signed.select(
@@ -277,6 +291,8 @@ def dedup_pipeline(
         )
 
     labels, _ = stage("components", _components)
+    membership, _ = membership_fut.result()
+    membership_pool.shutdown()
 
     # --- expand back to every url through the exact-dup membership
     def _expand() -> DataFrame:

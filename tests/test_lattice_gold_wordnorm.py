@@ -240,3 +240,152 @@ def test_asciifolded_word_chargrams(spark):
     got = df.select(asciifolded_word_chargrams("s", 4).alias("g")).collect()[0]["g"]
     # fold: 'muller strasse' → words [muller, strasse]
     assert got == ["mull", "ulle", "ller", "stra", "tras", "rass", "asse"]
+
+
+def test_ascii_dammit_ms_block(spark):
+    """Full MS-charset transliteration parity: the cp1252 0x80-0x9F block
+    (raw codepoints AND the Unicode equivalents modern decoding yields)
+    maps to the published plain-text approximations instead of being
+    stripped; Latin-1 letters fold; leftovers strip."""
+    from outcite_duplicate_detecting_spark.functions.textnorm import (
+        ASCII_DAMMIT_TABLE,
+        asciifold,
+        py_ascii_dammit,
+    )
+
+    # hand-typed expectations for the punctuation block (reference plain
+    # approximations, M_asciidammit.py:29-59)
+    expect = {
+        "\x80": "EUR", "\x82": ",", "\x84": ",,", "\x85": "...",
+        "\x86": "+", "\x87": "++", "\x89": "%", "\x91": "'", "\x92": "'",
+        "\x93": '"', "\x94": '"', "\x95": "*", "\x96": "-", "\x97": "--",
+        "\x99": "(TM)", "\x8c": "OE", "\x9c": "oe",
+        # Unicode equivalents of the same cp1252 bytes
+        "‘": "'", "’": "'", "“": '"', "”": '"',
+        "–": "-", "—": "--", "…": "...", "€": "EUR",
+        "™": "(TM)",
+        # Latin-1 letters and symbols
+        "\xe9": "e", "\xdf": "ss", "\xc6": "AE", "\xbd": "1/2",
+        "\xa9": "", "\xd7": "*", "\xf7": "/",
+    }
+    for ch, out in expect.items():
+        assert ASCII_DAMMIT_TABLE[ch] == out, hex(ord(ch))
+        assert py_ascii_dammit(ch) == out, hex(ord(ch))
+    # every char 0x80-0xff is covered (nothing silently stripped)
+    for cp in range(0x80, 0x100):
+        assert chr(cp) in ASCII_DAMMIT_TABLE, hex(cp)
+
+    samples = [
+        "“Smart” quotes — and ellipsis…",
+        "Caf\xe9 \xbd price \x93quoted\x94",
+        "stra\xdfe €5",
+        "untouched ascii!",
+        "greek α stripped",  # not in the table → stripped
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r["f"] for r in df.select(asciifold("s").alias("f")).collect()]
+    assert got == [py_ascii_dammit(s) for s in samples]
+    assert got[0] == '"Smart" quotes -- and ellipsis...'
+    assert got[1] == 'Cafe 1/2 price "quoted"'
+    assert got[2] == "strasse EUR5"
+    assert got[3] == "untouched ascii!"
+    assert got[4] == "greek  stripped"
+
+
+def test_text_sections(spark):
+    """Subtitle + stopword section split parity with the reference's
+    nested SUBTITDIV/STOPWORDS composition (B2_process_features.py:76-77,
+    160-161), recomputed literally."""
+    import re
+
+    from outcite_duplicate_detecting_spark.functions.textnorm import (
+        py_text_sections,
+        text_sections,
+    )
+
+    stopwords = ["the", "of", "and"]
+    SUBTITDIV = re.compile(r"\. |: | -+ |\? ")
+    STOPWORDS = re.compile(
+        r"&|\.|\,|" + r"|".join("\\b" + s + "\\b" for s in stopwords)
+    )
+
+    samples = [
+        "history of science: a survey. second edition",
+        "war -- and peace? or both, maybe & more",
+        "plain title without dividers",
+    ]
+    for s in samples:
+        want = [d for t in SUBTITDIV.split(s) for d in STOPWORDS.split(t)]
+        assert py_text_sections(s, stopwords) == want, s
+
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [
+        r["sec"] for r in df.select(text_sections("s", stopwords).alias("sec")).collect()
+    ]
+    assert got == [py_text_sections(s, stopwords) for s in samples]
+
+
+def test_gold_pair_samples_reference_parity(spark):
+    """gold_pair_samples vs a literal reimplementation of the reference's
+    get_samples (common.py:376-403) — same pairs, same caps, same
+    first-come overshoot semantics, on a labelling with singletons, a big
+    group (per-label cap binds) and enough groups for the global caps."""
+    import itertools
+
+    from outcite_duplicate_detecting_spark.operators.evaluate import (
+        gold_pair_samples,
+    )
+
+    # mentions 0..29: label layout exercises every cap
+    gold = (
+        ["g0"] * 8        # C(8,2)=28 combos, per-label cap 5 binds
+        + ["g1"] * 4      # 6 combos
+        + ["g2"] * 1      # singleton
+        + ["g3"] * 3
+        + ["g4"] * 2
+        + ["g5"] * 12     # big group
+    )
+
+    def ref_get_samples(labelling, max_epl, max_e, max_dpp, max_d):
+        g2i = {}
+        for i, g in enumerate(labelling):
+            g2i.setdefault(g, []).append(i)
+        equivalents = []
+        for g in g2i:
+            eq_ = []
+            for m1, m2 in itertools.combinations(g2i[g], 2):
+                eq_.append((m1, m2))
+                if len(eq_) >= max_epl:
+                    break
+            equivalents += eq_
+            if len(equivalents) >= max_e:
+                break
+        differents = []
+        for g1, g2 in itertools.combinations(g2i.keys(), 2):
+            d_ = []
+            for m1, m2 in itertools.product(g2i[g1], g2i[g2]):
+                d_.append((m1, m2))
+                if len(d_) >= max_dpp:
+                    break
+            differents += d_
+            if len(differents) >= max_d:
+                break
+        return set(equivalents), set(differents)
+
+    caps = dict(max_epl=5, max_e=12, max_dpp=3, max_d=20)
+    want_eq, want_diff = ref_get_samples(gold, **caps)
+
+    df = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(gold)], "id long, gold string"
+    )
+    out = gold_pair_samples(
+        df,
+        max_equivs_per_gold_label=caps["max_epl"],
+        max_equivs=caps["max_e"],
+        max_diffs_per_gold_pair=caps["max_dpp"],
+        max_diffs=caps["max_d"],
+    ).collect()
+    got_eq = {(r["m1"], r["m2"]) for r in out if r["is_equivalent"]}
+    got_diff = {(r["m1"], r["m2"]) for r in out if not r["is_equivalent"]}
+    assert got_eq == want_eq
+    assert got_diff == want_diff

@@ -164,3 +164,136 @@ def test_assign_cost():
     assert assign_cost(["smith", "jones"], ["jones", "smith"]) == 0.0
     assert assign_cost([], ["x"]) == 1.0
     assert 0 < seq_distance("abc", "abd") < 1
+
+
+def test_distance_formulas_reference_parity():
+    """Hand parity with the reference's distance/distance_2/distance_3
+    (3_update_duplicateIDs.py:132-150): recompute each formula literally
+    and compare on hand pairs, including garbage and case."""
+    import re
+    from difflib import SequenceMatcher as SM
+
+    from outcite_duplicate_detecting_spark.operators.pairverify import (
+        seq_distance_2,
+        seq_distance_3,
+    )
+
+    GARBAGE = re.compile(r"\W")
+
+    def ref_distance(a, b):
+        a, b = a.lower(), b.lower()
+        s = SM(None, a, b)
+        overlap = sum(bl.size for bl in s.get_matching_blocks())
+        return 1 - (overlap / max([len(a), len(b)]))
+
+    def ref_distance_2(a, b):
+        a, b = a.lower(), b.lower()
+        s = SM(None, a, b)
+        overlap = sum(bl.size for bl in s.get_matching_blocks())
+        return max([len(a), len(b)]) - overlap
+
+    def ref_distance_3(a, b):
+        a = "_" + re.sub(GARBAGE, "", a.lower())
+        b = "_" + re.sub(GARBAGE, "", b.lower())
+        s = SM(None, a, b)
+        overlap = sum(bl.size for bl in s.get_matching_blocks() if bl.size >= 2)
+        return min([len(a), len(b)]) - overlap
+
+    pairs = [
+        ("Smith, J.", "smith j"),
+        ("The Quick Brown Fox", "the quick brown fox!"),
+        ("a-b-c", "abc"),
+        ("Wittgenstein", "Winterstein"),
+        ("x", "y"),
+        ("", "abc"),
+        ("Jahrbuch für Wirtschaftsgeschichte", "jahrbuch fur wg"),
+    ]
+    for a, b in pairs:
+        assert seq_distance(a, b) == ref_distance(a, b), (a, b)
+        assert seq_distance_2(a, b) == ref_distance_2(a, b), (a, b)
+        assert seq_distance_3(a, b) == ref_distance_3(a, b), (a, b)
+
+
+def test_similar_enough_and_record_equivalent():
+    """similar_enough (:194-199) + the full is_equivalent matchprec rule
+    (:238-263) on hand records."""
+    from outcite_duplicate_detecting_spark.operators.pairverify import (
+        record_equivalent,
+        similar_enough,
+    )
+
+    # year pairs: ±1 accepted regardless of cost
+    assert similar_enough("1999", "2000", 99.0, 0.25)
+    assert not similar_enough("1999", "2002", 0.0, 0.25)
+    # string pairs: cost / min(len) < threshold
+    assert similar_enough("duplicate detection", "duplicate detection", 0.0, 0.25)
+    assert not similar_enough("abcd", "wxyz", 4.0, 0.25)
+    # non-strings: equality
+    assert similar_enough(3, 3, 1.0, 0.25) and not similar_enough(3, 4, 0.0, 0.25)
+
+    rules = PairRules()
+    a = {
+        "title": ["near duplicate detection at scale"],
+        "year": ["1999"],
+        "a1sur": ["smith"],
+    }
+    b_close = {
+        "title": ["near duplicate detection at scale!"],
+        "year": ["2000"],
+        "a1sur": ["smith j"],
+    }
+    b_far = {
+        "title": ["entirely unrelated treatise"],
+        "year": ["1950"],
+        "a1sur": ["jones"],
+    }
+    assert record_equivalent(a, b_close, rules)
+    assert not record_equivalent(a, b_far, rules)
+    # title gate: high matchprec alone is not enough without close titles
+    b_titleless = {"year": ["1999"], "a1sur": ["smith"]}
+    assert not record_equivalent(a, b_titleless, rules)
+
+
+def test_verify_cluster_records(spark):
+    """Grouped-map wrapper over the full rule classifier: equivalences
+    match record_equivalent recomputed per pair on the driver."""
+    from outcite_duplicate_detecting_spark.operators.pairverify import (
+        record_equivalent,
+        verify_cluster_records,
+    )
+
+    rows = [
+        (1, 10, "near duplicate detection at scale", "1999", ["smith", "jones"]),
+        (1, 11, "near duplicate detection at scale!", "2000", ["smith j", "jones"]),
+        (1, 12, "entirely unrelated treatise", "1950", ["brown"]),
+        (2, 20, "alpha beta gamma", None, ["lee"]),
+        (2, 21, "alpha beta gamma", "2001", ["lee"]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "cluster_id long, doc_id long, title string, year string, authors array<string>"
+    )
+    attr_cols = ["title", "year", "authors"]
+    got = {
+        (r["id1"], r["id2"]): r["is_equivalent"]
+        for r in verify_cluster_records(docs, attr_cols=attr_cols).collect()
+    }
+    # recompute expectations straight from record_equivalent
+    from outcite_duplicate_detecting_spark.operators.pairverify import PairRules
+
+    recs = {
+        did: {
+            k: v
+            for k, v in {
+                "title": [t], "year": [y] if y else [], "authors": list(a)
+            }.items()
+            if v
+        }
+        for (_c, did, t, y, a) in rows
+    }
+    import itertools
+
+    for c in (1, 2):
+        members = sorted(d for (cl, d, *_r) in rows if cl == c)
+        for a, b in itertools.combinations(members, 2):
+            assert got[(a, b)] == record_equivalent(recs[a], recs[b], PairRules()), (a, b)
+    assert got[(10, 11)] is True and got[(10, 12)] is False
