@@ -236,6 +236,21 @@ def q_ann_lsh_cosine(spark, sf_dir):
     return ann_lsh_cosine(emb, queries_df, AnnLshConfig(n_planes=6, n_tables=12, k=5))
 
 
+def q_ann_ivf_cosine(spark, sf_dir):
+    """IVF-Flat ANN (sampled coarse centroids, n_probe cell fan-out,
+    exact in-cell re-rank) — the scale path for similarity search."""
+    from outcite_duplicate_detecting_spark.operators.similarity import (
+        AnnIvfConfig,
+        ann_ivf_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_cosine(emb, queries_df, AnnIvfConfig(n_cells=16, n_probe=4, k=5))
+
+
 def q_eval_pairwise_pr(spark, sf_dir):
     d = _docs(spark, sf_dir)
     labels = q_connected_components(spark, sf_dir)
@@ -741,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "knn_cosine": q_knn_cosine,
         "ann_lsh_cosine": q_ann_lsh_cosine,
+        "ann_ivf_cosine": q_ann_ivf_cosine,
         "eval_pairwise_pr": q_eval_pairwise_pr,
         "cluster_logistic": q_cluster_logistic,
         "majority_vote": q_majority_vote,
@@ -1041,6 +1057,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rn::INT AS rank, floor(cos * 1000000)::BIGINT AS cos_ppm
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
                   FROM scored) t
+            WHERE rn <= 5
+        """,
+        "ann_ivf_cosine": """
+            WITH cos_base AS (
+              SELECT vec_id, embedding FROM embeddings
+            ),
+            cent AS (
+              SELECT vec_id AS centroid_id, embedding AS centroid_vec
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_sum(list_transform(range(1, len(e.embedding)+1),
+                           i -> (e.embedding[i]::DOUBLE) * (c.centroid_vec[i]::DOUBLE)))
+                         / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> (e.embedding[i]::DOUBLE)^2)))
+                          * sqrt(list_sum(list_transform(range(1, len(c.centroid_vec)+1), i -> (c.centroid_vec[i]::DOUBLE)^2)))) DESC,
+                         c.centroid_id) AS rn
+                FROM cos_base e, cent c) t
+              WHERE rn = 1
+            ),
+            probes AS (
+              SELECT query_id, qv, centroid_id FROM (
+                SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_sum(list_transform(range(1, len(e.embedding)+1),
+                           i -> (e.embedding[i]::DOUBLE) * (c.centroid_vec[i]::DOUBLE)))
+                         / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> (e.embedding[i]::DOUBLE)^2)))
+                          * sqrt(list_sum(list_transform(range(1, len(c.centroid_vec)+1), i -> (c.centroid_vec[i]::DOUBLE)^2)))) DESC,
+                         c.centroid_id) AS rn
+                FROM cos_base e, cent c
+                WHERE e.vec_id < 5) t
+              WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT DISTINCT p.query_id, a.neighbor_id, p.qv, a.cv
+              FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+              WHERE a.neighbor_id != p.query_id
+            ),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_sum(list_transform(range(1, len(cv)+1),
+                       i -> (qv[i]::DOUBLE) * (cv[i]::DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> (qv[i]::DOUBLE)^2)))
+                      * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> (cv[i]::DOUBLE)^2)))) AS cos
+              FROM cand
+            )
+            SELECT query_id, neighbor_id, rn::INT AS rank,
+                   floor(cos * 1000000)::BIGINT AS cos_ppm
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn FROM scored) t
             WHERE rn <= 5
         """,
         "eval_pairwise_pr": f"""

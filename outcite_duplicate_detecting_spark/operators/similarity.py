@@ -150,3 +150,94 @@ def ann_lsh_cosine(
             F.floor(F.col("cos") * 1000000).cast("long").alias("cos_ppm"),
         )
     )
+
+
+@dataclass
+class AnnIvfConfig:
+    n_cells: int = 16  # coarse centroids
+    n_probe: int = 4  # cells probed per query
+    k: int = 5
+
+
+def ann_ivf_cosine(
+    df: DataFrame,
+    queries: DataFrame,
+    cfg: AnnIvfConfig | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-Flat ANN: coarse quantization into ``n_cells`` cells, queries
+    probe their ``n_probe`` nearest cells, exact cosine re-rank within the
+    probed cells. Same output shape as ``knn_cosine_brute``.
+
+    ``centroids`` (optional, (centroid_id, centroid_vec)): pass a trained
+    coarse quantizer (e.g. pyspark.ml KMeans cluster centers). The default
+    is *sampled* centroids — the embeddings of the ``n_cells`` smallest
+    ids — which keeps the operator a deterministic function of the input
+    (engine-reproducible, DuckDB-oracle-checkable) while exercising the
+    exact IVF dataflow; recall is tuned by ``n_probe``.
+
+    Scale path (10^12 vectors): assignment is a map-side broadcast
+    cross-product against ``n_cells`` centroids (one JVM dot product per
+    (vector, centroid)); the only shuffle is the posting-list join on
+    cell_id, whose fan-in per cell is n/n_cells — choose n_cells ≈ √n and
+    cap hot cells with the usual bucket machinery if the quantizer skews.
+    """
+    cfg = cfg or AnnIvfConfig()
+    if centroids is None:
+        w_ids = Window.orderBy(F.col(id_col).asc())
+        centroids = (
+            df.withColumn("_rn", F.row_number().over(w_ids))
+            .where(F.col("_rn") <= cfg.n_cells)
+            .select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+            )
+        )
+    cent = F.broadcast(centroids)
+
+    def nearest_cells(side: DataFrame, sid: str, svec: str, n_keep: int) -> DataFrame:
+        crossed = side.crossJoin(cent)
+        cos = _dot(F.col(svec), F.col("centroid_vec")) / (
+            _norm(F.col(svec)) * _norm(F.col("centroid_vec"))
+        )
+        scored = crossed.select(sid, svec, "centroid_id", cos.alias("ccos"))
+        w = Window.partitionBy(sid).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("_crn", F.row_number().over(w))
+            .where(F.col("_crn") <= n_keep)
+            .drop("ccos", "_crn")
+        )
+
+    postings = nearest_cells(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+        1,
+    )
+    probes = nearest_cells(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+        cfg.n_probe,
+    )
+    pairs = (
+        postings.join(probes, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cos")
+    scored = pairs.select("query_id", "neighbor_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= cfg.k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int"),
+            F.floor(F.col("cos") * 1000000).cast("long").alias("cos_ppm"),
+        )
+    )

@@ -59,3 +59,59 @@ def stream_signatures(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+):
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    exact-dedup on arrival. Keyed by the content digest; the per-key state
+    is the running occurrence count, so every arriving row is labeled with
+    ``dup_rank`` (how many occurrences of its text came before it, across
+    ALL previous triggers and restarts — state lives in the checkpointed
+    state store) and ``is_duplicate`` (rank > 0). The first-seen row of
+    each text is the keeper; everything else is droppable on sight —
+    dedup-on-arrival semantics the batch collapse can't give.
+
+    Rows within one batch are ordered by (warc_ts, url) before ranking so
+    the labeling is deterministic at any partitioning. Returns the started
+    StreamingQuery (AvailableNow; caller awaits)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .select("url", "warc_ts", F.sha2("text", 256).alias("text_sha"))
+    )
+
+    out_schema = "text_sha string, url string, dup_rank long, is_duplicate boolean"
+    state_schema = "freq long"
+
+    def label(key, pdfs, state: GroupState):
+        (freq,) = state.get if state.exists else (0,)
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(["warc_ts", "url"]).iterrows():
+                rows.append((key[0], r["url"], freq, freq > 0))
+                freq += 1
+        state.update((freq,))
+        yield pd.DataFrame(rows, columns=["text_sha", "url", "dup_rank", "is_duplicate"])
+
+    labeled = stream.groupBy("text_sha").applyInPandasWithState(
+        label, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    return (
+        labeled.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

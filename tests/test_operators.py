@@ -205,3 +205,95 @@ def test_pairwise_pr_grid_matches_single_slices(spark):
         g = got[(mn, mxg, mxl)]
         for c in ("t_mass", "p_mass", "tp_mass", "precision_ppm", "recall_ppm", "f1_ppm"):
             assert g[c] == single[c], (mn, mxg, mxl, c, g[c], single[c])
+
+
+def test_ann_ivf_matches_numpy_ivf(spark):
+    """IVF-Flat vs an independent numpy recomputation of the exact same
+    semantics (sampled centroids, argmax-cosine assignment with centroid-id
+    tie-break, n_probe cells, exact in-cell top-k); and the degenerate
+    1-cell/1-probe config equals brute-force kNN."""
+    from outcite_duplicate_detecting_spark.operators.similarity import (
+        AnnIvfConfig,
+        ann_ivf_cosine,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_cells, n_probe, k = 8, 3, 4
+    got = ann_ivf_cosine(df, q, AnnIvfConfig(n_cells=n_cells, n_probe=n_probe, k=k)).collect()
+
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    cos = (v @ v.T) / np.outer(norms, norms)
+    cent = list(range(n_cells))  # sampled centroids = smallest ids
+    assign = {
+        i: min(cent, key=lambda c: (-cos[i, c], c)) for i in range(50)
+    }
+    for qid in range(3):
+        probed = sorted(cent, key=lambda c: (-cos[qid, c], c))[:n_probe]
+        cands = [i for i in range(50) if assign[i] in probed and i != qid]
+        want = sorted(cands, key=lambda j: (-cos[qid, j], j))[:k]
+        mine = sorted(
+            [(r["rank"], r["neighbor_id"]) for r in got if r["query_id"] == qid]
+        )
+        assert [n for _, n in mine] == want, qid
+
+    # degenerate config: one cell probed = exact brute-force kNN
+    got1 = ann_ivf_cosine(df, q, AnnIvfConfig(n_cells=1, n_probe=1, k=k)).collect()
+    brute = knn_cosine_brute(df, q, k=k).collect()
+    as_set = lambda rows: {(r["query_id"], r["rank"], r["neighbor_id"]) for r in rows}
+    assert as_set(got1) == as_set(brute)
+
+
+def test_stream_dedup_first_seen_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState dedup-on-arrival: dup_rank continues across
+    a query RESTART (state recovered from the checkpointed state store),
+    so a text first seen in batch 1 is flagged duplicate in batch 2."""
+    from datetime import datetime, timedelta
+
+    from outcite_duplicate_detecting_spark.streaming.incremental import (
+        stream_dedup_first_seen,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    t0 = datetime(2020, 1, 1)
+    batch1 = spark.createDataFrame(
+        [
+            ("u1", t0, None, "shared text", "en"),
+            ("u2", t0 + timedelta(minutes=1), None, "shared text", "en"),
+            ("u3", t0, None, "unique one", "en"),
+        ],
+        schema,
+    )
+    batch1.write.mode("append").parquet(src)
+    q = stream_dedup_first_seen(spark, src, out, ck)
+    q.awaitTermination(180)
+
+    got1 = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert got1["u1"]["dup_rank"] == 0 and not got1["u1"]["is_duplicate"]
+    assert got1["u2"]["dup_rank"] == 1 and got1["u2"]["is_duplicate"]
+    assert got1["u3"]["dup_rank"] == 0
+
+    # restart with new files: state must carry over
+    batch2 = spark.createDataFrame(
+        [
+            ("u4", t0, None, "shared text", "en"),
+            ("u5", t0, None, "brand new", "en"),
+        ],
+        schema,
+    )
+    batch2.write.mode("append").parquet(src)
+    q2 = stream_dedup_first_seen(spark, src, out, ck)
+    q2.awaitTermination(180)
+    got2 = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert got2["u4"]["dup_rank"] == 2 and got2["u4"]["is_duplicate"]
+    assert got2["u5"]["dup_rank"] == 0 and not got2["u5"]["is_duplicate"]
