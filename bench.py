@@ -93,11 +93,18 @@ from outcite_duplicate_detecting_spark.session import get_spark
 
 spark = get_spark(cores={cpus}, app_name="bench-headline")
 qs = entrymod.queries()
+# two full passes, min per query: the host's sporadic ~2x slow state
+# (minutes-long) otherwise writes itself into single-sample timings
+# (observed: the same query 12.4s vs 24.4s across runs); the second pass
+# also factors out one-time JVM/codegen warmup
 timings = {{}}
-for name in {headline!r}:
-    t0 = time.time()
-    qs[name](spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
-    timings[name] = round(time.time() - t0, 3)
+for _pass in range(2):
+    for name in {headline!r}:
+        t0 = time.time()
+        qs[name](spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        if name not in timings or dt < timings[name]:
+            timings[name] = dt
 print("HEADLINE " + json.dumps(timings))
 """
 
@@ -140,44 +147,59 @@ def run_scaling() -> dict:
     # back-to-back runs measured 46s vs 118s), so a single sample can
     # misstate either leg. Min-of-2 recovers the machine's true speed.
     os.makedirs("BENCH", exist_ok=True)
+    attempts: dict[int, list[dict]] = {n_big: [], n_small: []}
+    errors: dict[int, list[str]] = {n_big: [], n_small: []}
+    counters: dict[int, int] = {n_big: 0, n_small: 0}
+
+    def run_leg(cores: int) -> None:
+        attempt = counters[cores]
+        counters[cores] += 1
+        # flush dirty pages before each timed leg: accumulated unsynced
+        # writes from earlier runs throttle this leg's shuffle/checkpoint
+        # writes (measured 74s vs 127s for an identical run with ~30 GB of
+        # stale dirty /tmp pages)
+        os.sync()
+        workdir = os.path.join(tmp, f"work{cores}_{attempt}")
+        # pin the whole JVM+python-worker tree to exactly `cores` CPUs —
+        # the core-bounded-executor emulation the north rule's N vs 4N
+        # cluster comparison implies (see module docstring)
+        cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
+               snippet, str(cores), corpus_dir, workdir]
+        if shutil.which("taskset") is None:
+            cmd = cmd[3:]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
+        # full leg stderr lands in BENCH/leg_<cores>_<attempt>.log
+        with open(f"BENCH/leg_{cores}_{attempt}.log", "w") as f:
+            f.write(proc.stderr[-200_000:])
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            errors[cores].append(proc.stderr[-2000:])
+            return
+        attempts[cores].append(json.loads(line[-1]))
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # INTERLEAVED best-of-2: the host exhibits a sporadic ~2x slow state
+    # lasting minutes (hypervisor-level; identical back-to-back runs
+    # measured 46s vs 118s). Back-to-back attempts of one leg can BOTH
+    # land inside a slow window (observed: recorded efficiency 0.739 on
+    # code that measured 0.859 an hour earlier); alternating legs makes a
+    # single window hit at most one attempt of each.
+    for cores in (n_big, n_small, n_big, n_small):
+        run_leg(cores)
     for cores in (n_big, n_small):
-        best = None
-        errors: list[str] = []
-        # best-of-2 with one extra attempt allowed on failure: a leg can
-        # die to a transient host condition; the full leg stderr always
-        # lands in BENCH/leg_<cores>_<attempt>.log for diagnosis
-        for attempt in range(3):
-            if best is not None and attempt >= 2:
-                break
-            # flush dirty pages before each timed leg: accumulated
-            # unsynced writes from earlier runs throttle this leg's
-            # shuffle/checkpoint writes (measured 74s vs 127s for an
-            # identical run with ~30 GB of stale dirty /tmp pages)
-            os.sync()
-            workdir = os.path.join(tmp, f"work{cores}_{attempt}")
-            # pin the whole JVM+python-worker tree to exactly `cores`
-            # CPUs — the core-bounded-executor emulation the north rule's
-            # N vs 4N cluster comparison implies (see module docstring)
-            cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
-                   snippet, str(cores), corpus_dir, workdir]
-            if shutil.which("taskset") is None:
-                cmd = cmd[3:]
-            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
-            with open(f"BENCH/leg_{cores}_{attempt}.log", "w") as f:
-                f.write(proc.stderr[-200_000:])
-            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-            if not line:
-                errors.append(proc.stderr[-2000:])
-                continue
-            res = json.loads(line[-1])
-            if best is None or res["wall_sec"] < best["wall_sec"]:
-                best = res
-        if best is None:
+        # failed attempts get one replacement; wildly disagreeing samples
+        # (>1.3x spread = slow-state signature) get one tie-break attempt
+        if len(attempts[cores]) < 2:
+            run_leg(cores)
+        walls = [a["wall_sec"] for a in attempts[cores]]
+        if len(walls) >= 2 and max(walls) / min(walls) > 1.3 and counters[cores] < 3:
+            run_leg(cores)
+        if not attempts[cores]:
             raise RuntimeError(
                 f"scaling run cores={cores} failed every attempt:\n"
-                + "\n---\n".join(errors)
+                + "\n---\n".join(errors[cores])
             )
-        results[cores] = best
+        results[cores] = min(attempts[cores], key=lambda a: a["wall_sec"])
     shutil.rmtree(tmp, ignore_errors=True)
 
     speedup = results[n_big]["docs_per_sec"] / results[n_small]["docs_per_sec"]
@@ -201,7 +223,9 @@ def write_bench_md(timings: dict[str, float], scaling: dict | None) -> None:
     lines = [
         "# BENCH — measured numbers",
         "",
-        f"Headline queries at sf dir `{SF_DIR}` on local[{CPUS}] (noop sink, full compute):",
+        f"Headline queries at sf dir `{SF_DIR}` on local[{CPUS}] (noop sink, full",
+        "compute; two passes, min per query — see bench.py on the host's sporadic",
+        "slow state):",
         "",
         "| query | sec |",
         "| --- | --- |",
@@ -226,7 +250,11 @@ def write_bench_md(timings: dict[str, float], scaling: dict | None) -> None:
             "slower at 16+ busy cores — so larger pairs measure the silicon, not the",
             "pipeline.",
             "",
-            "| parallelism | wall sec (best of 2) | docs/sec |",
+            "Leg attempts are INTERLEAVED (big, small, big, small — one slow-state",
+            "window can then hit at most one attempt per leg) with an adaptive",
+            "tie-break attempt when a leg's two samples disagree by >1.3×.",
+            "",
+            "| parallelism | wall sec (best of attempts) | docs/sec |",
             "| --- | --- | --- |",
             f"| local[{ns}] pinned to {ns} CPUs | {scaling['small_wall_sec']} | {scaling['small_docs_per_sec']} |",
             f"| local[{nb}] pinned to {nb} CPUs | {scaling['big_wall_sec']} | {scaling['big_docs_per_sec']} |",
