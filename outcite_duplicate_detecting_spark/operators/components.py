@@ -103,9 +103,12 @@ def connected_components(
     ``nodes`` (optional, one column ``id_col``) adds isolated vertices,
     which label themselves.
     """
-    # lazy checkpoint + digest-as-materializer: one job per round
+    # lazy checkpoint + digest-as-materializer: one job per round. No
+    # pre-loop digest of the input — the first round's digest doubles as
+    # the baseline (an already-converged input just takes its one
+    # confirmation round, same as before; every other input saves a job)
     e = _normalize(edges, src, dst).localCheckpoint(eager=False)
-    prev = _digest(e)
+    prev: tuple[int, int, int] | None = None
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _digest(e2)

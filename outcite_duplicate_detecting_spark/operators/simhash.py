@@ -272,6 +272,15 @@ def simhash_verified_pairs(
     probe(b) hits band(a)), so the plain ``id1 < id2`` predicate keeps
     exactly one instance of every pair; no double-orientation pass needed.
     """
+    if cfg.salt and cfg.salt > 1:
+        # triangle-cell salting needs the generic pair generator; verify
+        # joins back (the salted path is for corpora with hot bands where
+        # candidate volume is dominated by true near-dup mass anyway)
+        s = signed.select(
+            F.col(id_col).alias("id"), F.col(sig_col).alias("simhash")
+        )
+        cands = simhash_candidate_pairs(s, cfg, id_col="id")
+        return hamming_verify(cands.pairs, s, cfg), cands.drops
     postings = block_postings(signed, cfg, id_col=id_col, sig_col=sig_col, keep_sig=True)
     left = (
         probe_block_postings(signed, cfg, id_col=id_col, sig_col=sig_col, keep_sig=True)

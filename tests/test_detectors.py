@@ -284,3 +284,14 @@ def test_simhash_multiprobe_exact_k7_at_16bit(spark, corpus):
     got = {(r["id1"], r["id2"]) for r in verified.collect()}
     assert drops.count() == 0
     assert got == want  # exact: no tail loss, no false positives
+
+
+def test_simhash_salted_equals_fused(spark, corpus):
+    """The triangle-salted fallback path produces the same verified pair
+    set as the fused join-verify (salting only re-cells the work)."""
+    pdf, df = corpus
+    v1, _ = simhash_pairs(df, SimHashConfig())
+    v2, _ = simhash_pairs(df, SimHashConfig(salt=4))
+    a = {(r["id1"], r["id2"], r["hamming_dist"]) for r in v1.collect()}
+    b = {(r["id1"], r["id2"], r["hamming_dist"]) for r in v2.collect()}
+    assert a == b
