@@ -214,6 +214,14 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_whitespace_lm(spark, sf_dir):
+    """Whitespace-LM context trainer (ref M_train_whitespace_LM.py:25-61):
+    (across, h, w) 3-char context counts as one distributed groupBy."""
+    from outcite_duplicate_detecting_spark.operators.whitespace_lm import whitespace_lm
+
+    return whitespace_lm(_docs(spark, sf_dir), nchar=3, min_freq=2)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return _ts.doc_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
@@ -753,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "token_count": q_token_count,
+        "whitespace_lm": q_whitespace_lm,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_cosine": q_knn_cosine,
         "ann_lsh_cosine": q_ann_lsh_cosine,
@@ -889,24 +898,39 @@ _WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
 _STOP_LIST = "[" + ",".join(f"'{s}'" for s in _ts.STOPWORDS_EN) + "]"
 
 
-def _lang_score(markers: list[str]) -> str:
-    lst = "[" + ",".join(f"'{m}'" for m in markers) + "]"
-    return f"len(list_filter({_WORDS}, x -> list_contains({lst}, x)))"
-
-
 def _language_sql() -> str:
-    scores = {lang: _lang_score(m) for lang, m in _ts.LANG_MARKERS.items()}
-    best = "greatest(" + ", ".join(scores.values()) + ")"
-    whens = "\n".join(
-        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in _ts.LANG_MARKERS
+    # same trigram profiles + tie-break as operators/textstats.language_id;
+    # trigrams are regenerated from LANG_TRIGRAMS so the two can't drift
+    def lst(tris: list[str]) -> str:
+        return "[" + ",".join("'" + t.replace("'", "''") + "'" for t in tris) + "]"
+
+    scores = ",\n".join(
+        f"count(*) FILTER (WHERE list_contains({lst(tris)}, gram)) AS s_{lang}"
+        for lang, tris in _ts.LANG_TRIGRAMS.items()
     )
-    selects = ",\n".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _ts.LANG_TRIGRAM_ORDER) + ")"
+    whens = "\n".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'"
+        for lang in _ts.LANG_TRIGRAM_ORDER
+    )
     return f"""
-WITH scored AS (
-  SELECT doc_id, {selects}, {best} AS best
+WITH norm AS (
+  SELECT doc_id, ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS n
   FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(n) - 2, 0) + 1),
+                               i -> substr(n, i::INT, 3))) AS gram
+  FROM norm
+),
+scored AS (
+  SELECT doc_id, {scores}
+  FROM g GROUP BY doc_id
 )
-SELECT doc_id, CASE {whens} ELSE 'en' END AS lang_pred FROM scored
+SELECT d.doc_id,
+       CASE {whens} ELSE 'default' END AS lang_pred
+FROM norm d LEFT JOIN (SELECT *, {best} AS best FROM scored) s USING (doc_id)
 """
 
 
@@ -1043,6 +1067,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        # whitespace-LM trainer: ACROSS = word-boundary contexts, WITHIN =
+        # in-word split contexts; suffix() mirrors the Spark clamp
+        # substr(s, greatest(len-2,1), 3) == python s[-3:]
+        "whitespace_lm": """
+            WITH norm AS (
+              SELECT list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[\\n\\r]', ' ', 'g')), '\\s+'),
+                       x -> x != '') AS ws
+              FROM documents
+            ),
+            across AS (
+              SELECT TRUE AS across,
+                     substr(ws[(i-1)::INT], greatest(length(ws[(i-1)::INT]) - 2, 1)::INT, 3) AS h,
+                     substr(ws[i::INT], 1, 3) AS w
+              FROM (SELECT ws, unnest(range(2, len(ws) + 1)) AS i FROM norm)
+            ),
+            within AS (
+              SELECT FALSE AS across,
+                     substr(substr(word, 1, i::INT), greatest(i - 2, 1)::INT, 3) AS h,
+                     substr(word, (i + 1)::INT, 3) AS w
+              FROM (
+                SELECT word, unnest(range(1, length(word))) AS i
+                FROM (SELECT unnest(ws) AS word FROM norm)
+              )
+            )
+            SELECT across, h, w, count(*)::BIGINT AS freq
+            FROM (SELECT * FROM across UNION ALL SELECT * FROM within)
+            GROUP BY across, h, w
+            HAVING count(*) >= 2
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -1576,7 +1630,59 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS is_equivalent
             FROM dexp
         """,
-        # ann_lsh_cosine, pairwise_verify: RNG-hyperplane/difflib-dependent
-        # — not SQL-expressible; the driver records rows-only checks (each
-        # is pytest-oracled in tests/).
+        # Hyperplane LSH: the ±1 Rademacher plane entries regenerate from
+        # the same two-round LCG the pandas UDF uses (similarity.py
+        # rademacher_planes — every intermediate < 2^63, so BIGINT-safe),
+        # then bucket join + exact cosine re-rank, all in SQL.
+        "ann_lsh_cosine": """
+            WITH vecvals AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                     unnest(embedding)::DOUBLE AS v
+              FROM embeddings
+            ),
+            dims AS (SELECT DISTINCT j FROM vecvals),
+            planes AS (
+              SELECT t, p, j,
+                     (1 - 2 * (((((key % 2147483648) * 2654435761 % 4294967296)
+                                  % 2147483648) * 2246822519 % 4294967296 // 32768) % 2))::DOUBLE AS s
+              FROM (
+                SELECT t.range AS t, p.range AS p, d.j AS j,
+                       ((42::BIGINT * 131071 + t.range) * 131071 + p.range) * 131071 + d.j AS key
+                FROM range(12) t, range(6) p, dims d
+              )
+            ),
+            dots AS (
+              SELECT vv.vec_id, pl.t, pl.p, SUM(pl.s * vv.v) AS dp
+              FROM vecvals vv JOIN planes pl ON pl.j = vv.j
+              GROUP BY vv.vec_id, pl.t, pl.p
+            ),
+            sigs AS (
+              SELECT vec_id, t,
+                     SUM(CASE WHEN dp > 0 THEN 1::BIGINT << p::INT ELSE 0 END) * 12 + t AS bucket
+              FROM dots GROUP BY vec_id, t
+            ),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+              WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+            ),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     list_sum(list_transform(range(1, len(ce.embedding)+1),
+                       i -> (qe.embedding[i]::DOUBLE) * (ce.embedding[i]::DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, len(qe.embedding)+1), i -> (qe.embedding[i]::DOUBLE)^2)))
+                      * sqrt(list_sum(list_transform(range(1, len(ce.embedding)+1), i -> (ce.embedding[i]::DOUBLE)^2)))) AS cos
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rn::INT AS rank,
+                   floor(cos * 1000000)::BIGINT AS cos_ppm
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rn FROM scored) t
+            WHERE rn <= 5
+        """,
+        # pairwise_verify: difflib-dependent — not SQL-expressible; the
+        # driver records a rows-only check (pytest-oracled end-to-end in
+        # tests/test_entry_no_oracle.py).
     }

@@ -75,6 +75,12 @@ spark = get_spark(cores=cores, app_name=f"bench-scaling-{{cores}}",
                   shuffle_partitions=32)
 pages = spark.read.parquet(corpus)
 t0 = time.time()
+# durable-checkpoint mode for the timed legs — measured FASTER than light
+# mode at 800k docs on BOTH core counts (light 8c 790s vs ckpt ~400s;
+# light 2c 1264s vs ckpt 1026s, r4 probes): light mode's in-memory
+# localCheckpoint blocks (texts + fat signature arrays) starve execution
+# memory in the concurrent detector joins, while parquet checkpoints are
+# compressed, evictable, and re-readable with column pruning
 out = dedup_pipeline(spark, pages, PipelineConfig(), workdir=workdir, run_id=f"bench{{cores}}")
 n = out.count()
 dup_rows = out.where(out.is_duplicate).count()
@@ -209,6 +215,13 @@ def run_scaling() -> dict:
         "cores_small": n_small,
         "cores_big": n_big,
         "pinned": shutil.which("taskset") is not None,
+        # full per-leg attempt list (interleaved run order big,small,big,
+        # small + any tie-breaks) so the min-of-attempts provenance of the
+        # gate number is machine-checkable from the JSON alone
+        "attempts": {
+            str(cores): [round(a["wall_sec"], 2) for a in attempts[cores]]
+            for cores in (n_small, n_big)
+        },
         "small_docs_per_sec": round(results[n_small]["docs_per_sec"], 1),
         "big_docs_per_sec": round(results[n_big]["docs_per_sec"], 1),
         "small_wall_sec": round(results[n_small]["wall_sec"], 2),
@@ -239,7 +252,9 @@ def write_bench_md(timings: dict[str, float], scaling: dict | None) -> None:
             "## Scaling (north rule: N vs 4N parallelism on identical input)",
             "",
             f"Full dedup pipeline (collapse → unified sign → MinHash+SimHash+substring",
-            f"joins → CC → expand, durable stage checkpoints ON) over {scaling['docs']:,}",
+            f"joins → CC → expand, durable stage checkpoints ON — measured faster than",
+            "light mode at both core counts; see bench.py) over "
+            f"{scaling['docs']:,}",
             f"deterministic synthetic pages. Each run is a fresh JVM {pin} to exactly",
             "its core budget — the core-bounded-executor emulation of an N vs 4N",
             "cluster (a pandas-UDF workload uses N JVM threads + N python workers, so",

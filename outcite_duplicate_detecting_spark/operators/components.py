@@ -33,8 +33,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _id_col(df: DataFrame, name: str, alias: str):
+    """Id columns stay whatever orderable type the caller uses (long ids,
+    128-bit struct<h1,h2> ids, strings); integral types are widened to long
+    so mixed int/long callers keep the legacy behavior."""
+    c = F.col(name)
+    if dict(df.dtypes).get(name) in _INTEGRAL:
+        c = c.cast("long")
+    return c.alias(alias)
+
+
 def _normalize(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    e = edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    e = edges.select(_id_col(edges, src, "src"), _id_col(edges, dst, "dst"))
     return (
         e.where(F.col("src") != F.col("dst"))
         .select(
@@ -107,11 +120,22 @@ def connected_components(
     # pre-loop digest of the input — the first round's digest doubles as
     # the baseline (an already-converged input just takes its one
     # confirmation round, same as before; every other input saves a job)
+    import os
+    import time
+
+    timing = bool(os.environ.get("SPARK_GRAFT_STAGE_TIMING"))
     e = _normalize(edges, src, dst).localCheckpoint(eager=False)
     prev: tuple[int, int, int] | None = None
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        t0 = time.time()
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _digest(e2)
+        if timing:
+            print(
+                f"STAGE_TIMING cc_round_{_round} {time.time() - t0:.2f}s"
+                f" edges={cur[0]}",
+                flush=True,
+            )
         e = e2
         if cur == prev:
             break
@@ -129,7 +153,7 @@ def connected_components(
         )
     )
     if nodes is not None:
-        all_nodes = nodes.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+        all_nodes = nodes.select(_id_col(nodes, id_col, id_col)).distinct()
         labels = all_nodes.join(labels, id_col, "left").select(
             id_col, F.coalesce("component", F.col(id_col)).alias("component")
         )

@@ -183,7 +183,11 @@ def gold_pair_samples(
     from the count lower bound (every processed pair contributes ≥ 1
     sample), then exact mass prefix sums decide inclusion. Member lists
     are truncated to the per-group cap + 1 before collection (the sample
-    prefix can never reach further), so no unbounded collect_list.
+    prefix can never reach further), so no unbounded collect_list. The
+    label-ranking windows run AFTER a distributed TakeOrdered prune to the
+    first max_equivs / max_diffs + 1 labels by first appearance — the only
+    single-partition sorts in the operator are over cap-bounded sets,
+    never the full label table.
     """
     import pandas as pd
     from pyspark.sql import Window
@@ -192,28 +196,34 @@ def gold_pair_samples(
     w_m = Window.partitionBy("g").orderBy("m")
     members = m.withColumn("mrank", F.row_number().over(w_m))
 
-    lab = m.groupBy("g").agg(F.min("m").alias("first_m"), F.count("*").alias("n"))
-    w_lab = Window.orderBy("first_m")
-    lab = lab.withColumn("lrank", F.row_number().over(w_lab)).localCheckpoint(
-        eager=False
-    )
+    lab = m.groupBy("g").agg(
+        F.min("m").alias("first_m"), F.count("*").alias("n")
+    ).localCheckpoint(eager=False)
 
-    # ---- equivalents: labels kept while the exclusive prefix mass < cap
+    # ---- equivalents: labels kept while the exclusive prefix mass < cap.
+    # Only non-singleton labels carry mass, each ≥ 1, so at most
+    # ``max_equivs`` of them (in first-appearance order) can be eligible:
+    # prune via a distributed TakeOrdered (orderBy + limit) BEFORE the
+    # ranking window — the single-partition window then sorts a
+    # cap-bounded set, never the full web-scale label table.
     eq_mass = F.least(
         (F.col("n") * (F.col("n") - 1) / 2).cast("long"),
         F.lit(max_equivs_per_gold_label).cast("long"),
     )
-    w_rank = Window.orderBy("lrank")
+    nonsing = (
+        lab.where(F.col("n") >= 2).orderBy("first_m").limit(max_equivs + 1)
+    )
+    w_eq = Window.orderBy("first_m")
     lab_eq = (
-        lab.withColumn("mass", eq_mass)
+        nonsing.withColumn("mass", eq_mass)
         .withColumn(
             "prior",
             F.coalesce(
-                F.sum("mass").over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
+                F.sum("mass").over(w_eq.rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0),
             ),
         )
-        .where((F.col("prior") < max_equivs) & (F.col("mass") > 0))
+        .where(F.col("prior") < max_equivs)
         .select("g", "mass")
     )
     eq_members = members.join(lab_eq.select("g"), "g", "left_semi").where(
@@ -238,13 +248,23 @@ def gold_pair_samples(
 
     equivs = eq_members.groupBy("g").applyInPandas(gen_combos, "m1 long, m2 long")
 
-    # ---- differents: eligible (r1, r2) windows from the count lower bound
+    # ---- differents: eligible (r1, r2) windows from the count lower bound.
+    # Every processed label pair contributes ≥ 1 sample, so no label with
+    # rank > max_diffs + 1 can appear as either side: rank AFTER the same
+    # TakeOrdered prune (bounded single-partition window, as above).
+    # n_labels (the full count, used by the combinations-order prefix
+    # formula) stays a distributed aggregate over the unpruned table.
     n_labels = lab.count()
+    lab_top = (
+        lab.orderBy("first_m")
+        .limit(max_diffs + 1)
+        .withColumn("lrank", F.row_number().over(Window.orderBy("first_m")))
+    )
     r1 = F.col("lrank")
     # label pairs strictly before (r1, r1+1) in combinations order
     base_prior = ((r1 - 1) * n_labels - r1 * (r1 - 1) / 2).cast("long")
     cand = (
-        lab.select(
+        lab_top.select(
             F.col("g").alias("g1"),
             F.col("lrank").alias("r1"),
             F.col("n").alias("n1"),
@@ -265,7 +285,7 @@ def gold_pair_samples(
         )
     )
     pairs_lab = cand.join(
-        lab.select(
+        lab_top.select(
             F.col("g").alias("g2"), F.col("lrank").alias("r2"), F.col("n").alias("n2")
         ),
         "r2",

@@ -30,11 +30,38 @@ MEDIA_SCHEMA = (
     "meta_width int, meta_height int, meta_duration_ms int"
 )
 
-FEATURE_SCHEMA = "media_id long, modality string, n_bytes long, feature array<float>"
+FEATURE_SCHEMA = (
+    "media_id long, modality string, n_bytes long, feature array<float>, "
+    "decode_ok boolean"
+)
+
+
+def _image_codec():
+    """Optional codec import — PIL when installed, else None. This
+    container ships no codec libraries, so here the stub path is live; on
+    a cluster image with Pillow the real path activates with no code
+    change."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
 
 
 def decode_media(content: bytes, modality: str) -> np.ndarray:
-    """Real decode — requires codec libraries not present in this image."""
+    """Decode a media payload to a numpy array.
+
+    Image payloads decode through PIL when it is importable; every other
+    (modality, available-codec) combination raises NotImplementedError —
+    an honest stub, not a silent fake."""
+    if modality.startswith("image"):
+        Image = _image_codec()
+        if Image is not None:
+            import io  # noqa: PLC0415
+
+            with Image.open(io.BytesIO(content)) as img:
+                return np.asarray(img.convert("L"))
     raise NotImplementedError(
         "media decoding requires PIL/ffmpeg-class libraries not shipped in "
         "this environment; use deterministic_fake=True for plumbing tests"
@@ -48,13 +75,18 @@ def extract_features(
 
     With ``deterministic_fake`` the 'decoder' derives a feature vector from
     a seeded hash of the bytes — stable across runs/partitionings, so the
-    downstream similarity plumbing is fully testable. With it off, the real
-    decoder raises NotImplementedError (clearly marked stub).
+    downstream similarity plumbing is fully testable. With it off, images
+    decode for real when PIL is importable (feature = normalized
+    ``feature_dim``-bin intensity histogram); rows whose payload fails to
+    decode come back with ``decode_ok = false`` and a NULL feature —
+    drop-accounted, never silently invented. A missing codec library (the
+    state of this container) still raises NotImplementedError.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats: list[list[float] | None] = []
+            ok: list[bool] = []
             for content, modality in zip(pdf["content"], pdf["modality"]):
                 b = bytes(content) if content is not None else b""
                 if deterministic_fake:
@@ -63,14 +95,29 @@ def extract_features(
                     )[0]
                     rng = np.random.RandomState(int(seed))
                     feats.append(rng.standard_normal(feature_dim).astype(np.float32).tolist())
+                    ok.append(True)
                 else:
-                    decode_media(b, modality)  # raises NotImplementedError
+                    try:
+                        pixels = decode_media(b, modality)
+                    except NotImplementedError:
+                        raise  # no codec at all: honest stub, fail loudly
+                    except Exception:
+                        feats.append(None)  # corrupt payload: drop-account
+                        ok.append(False)
+                        continue
+                    hist, _ = np.histogram(
+                        pixels.astype(np.float64), bins=feature_dim, range=(0, 256)
+                    )
+                    total = max(int(hist.sum()), 1)
+                    feats.append((hist / total).astype(np.float32).tolist())
+                    ok.append(True)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["content"].map(lambda c: len(c) if c is not None else 0),
                     "feature": feats,
+                    "decode_ok": ok,
                 }
             )
 

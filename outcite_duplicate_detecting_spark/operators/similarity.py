@@ -13,7 +13,12 @@ algebra; here vectors are dense).
 - ``ann_lsh_cosine``: random-hyperplane LSH (Charikar '02) — signatures
   via one matmul in a pandas UDF, candidates restricted to same-bucket
   pairs, exact cosine re-rank. The 10^12-scale path: bucket join replaces
-  the full cross product; recall tunable by bands/bits.
+  the full cross product; recall tunable by bands/bits. Hyperplane entries
+  are hash-derived Rademacher ±1 (sign of a dot with iid symmetric
+  entries is the same LSH family as Gaussian planes, Charikar '02 §3 /
+  Achlioptas '01 sparse projections) — chosen over ``standard_normal``
+  because the two-round LCG below is exactly reproducible in ANSI SQL, so
+  the whole operator is DuckDB-oracle-checkable.
 """
 
 from __future__ import annotations
@@ -74,6 +79,26 @@ def knn_cosine_brute(
     )
 
 
+def rademacher_planes(
+    n_tables: int, n_planes: int, dim: int, seed: int
+) -> np.ndarray:
+    """(n_tables, n_planes, dim) float64 matrix of ±1 hyperplane entries.
+
+    Two-round multiplicative LCG over the flattened (seed, table, plane,
+    dim) key. Constants are the classic Knuth/Fibonacci-hash multipliers;
+    every intermediate stays below 2^63 (max (2^31−1)·2654435761 ≈
+    5.7e18), so DuckDB BIGINT arithmetic — which raises on overflow
+    rather than wrapping — evaluates the identical expression and a SQL
+    oracle reproduces the planes bit-for-bit."""
+    t = np.arange(n_tables, dtype=np.int64)[:, None, None]
+    p = np.arange(n_planes, dtype=np.int64)[None, :, None]
+    j = np.arange(dim, dtype=np.int64)[None, None, :]
+    key = ((np.int64(seed) * 131071 + t) * 131071 + p) * 131071 + j
+    r1 = (key % 2**31) * 2654435761 % 2**32
+    r2 = (r1 % 2**31) * 2246822519 % 2**32
+    return (1 - 2 * ((r2 // 32768) % 2)).astype(np.float64)
+
+
 @dataclass
 class AnnLshConfig:
     n_planes: int = 16  # bits per signature
@@ -100,26 +125,19 @@ def ann_lsh_cosine(
     def buckets(vecs: pd.Series) -> pd.Series:
         # hyperplanes derive deterministically from (seed, dim) INSIDE the
         # UDF — no driver-side `first()` action to learn the dimensionality
-        # (identical planes on every worker/batch for a given dim; the
-        # regeneration cost is a few KB of randn per Arrow batch). An
-        # explicit `dim` argument just pins the expectation.
+        # (identical planes on every worker/batch for a given dim). Entries
+        # are ±1 from rademacher_planes — every intermediate of that mix
+        # fits signed-64 arithmetic, so a SQL oracle regenerates the exact
+        # same planes. An explicit `dim` argument pins the expectation.
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         if dim is not None and m.shape[1] != dim:
             raise ValueError(f"embedding dim {m.shape[1]} != declared {dim}")
-        planes = np.random.RandomState(seed).standard_normal(
-            (n_tables, n_planes, m.shape[1])
-        )
-        bits_per_table = []
-        for t in range(planes.shape[0]):
-            proj = m @ planes[t].T > 0  # (batch, n_planes) bools
-            key = np.packbits(proj, axis=1, bitorder="little")
-            width = key.shape[1]
-            val = np.zeros(len(m), dtype=np.int64)
-            for j in range(width):
-                val |= key[:, j].astype(np.int64) << (8 * j)
-            bits_per_table.append(val * np.int64(planes.shape[0]) + t)
-        stacked = np.stack(bits_per_table, axis=1)
-        return pd.Series([row.tolist() for row in stacked])
+        planes = rademacher_planes(n_tables, n_planes, m.shape[1], seed)
+        proj = np.einsum("bd,tpd->btp", m, planes) > 0  # (batch, T, P)
+        weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+        code = (proj * weights[None, None, :]).sum(axis=2, dtype=np.int64)
+        bucket = code * np.int64(n_tables) + np.arange(n_tables, dtype=np.int64)[None, :]
+        return pd.Series([row.tolist() for row in bucket])
 
     cand = df.select(
         F.col(id_col).alias("neighbor_id"),
@@ -187,13 +205,17 @@ def ann_ivf_cosine(
     """
     cfg = cfg or AnnIvfConfig()
     if centroids is None:
-        w_ids = Window.orderBy(F.col(id_col).asc())
+        # orderBy().limit(n) compiles to TakeOrderedAndProject — every
+        # partition keeps its local n smallest, the driver merges n_cells
+        # tiny rows. No global single-partition sort/window exchange (a
+        # row_number() over an unpartitioned Window here would funnel the
+        # entire embedding table through one task before any IVF work).
         centroids = (
-            df.withColumn("_rn", F.row_number().over(w_ids))
-            .where(F.col("_rn") <= cfg.n_cells)
-            .select(
+            df.select(
                 F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
             )
+            .orderBy(F.col("centroid_id").asc())
+            .limit(cfg.n_cells)
         )
     cent = F.broadcast(centroids)
 

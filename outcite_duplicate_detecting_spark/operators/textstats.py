@@ -9,10 +9,11 @@ __spark_entry__.oracle_sql.
 - ``text_quality``: length/token/punctuation/stopword ratios + a composite
   quality score (heuristics in the spirit of C4/Gopher public filtering
   rules, simplified to stay engine-comparable).
-- ``language_id``: marker-token voting with deterministic tie-break —
-  the reference collapses cld3 output to a fixed language set
-  (/root/reference/code/B2_process_features.py:125-132); same shape here
-  without the model dependency.
+- ``language_id``: char-trigram multinomial vote over per-language
+  frequency profiles with deterministic tie-break — the reference
+  collapses cld3 output to a fixed language set
+  (/root/reference/code/B2_process_features.py:125-132); same collapse
+  here ({de,fr,ru,es,it,default}) without the model dependency.
 - ``doc_fingerprint``: sha256 of the whitespace-normalized lowercased text —
   the reference's SHA-1 repID canonicalization analogue
   (/root/reference/code/blocking/code/make_representations_v3.py:47-49).
@@ -30,13 +31,41 @@ STOPWORDS_EN = (
     "the a an and or of to in is are was were be been it this that with as for on at by"
 ).split()
 
-LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "is", "with"],
-    "de": ["der", "die", "das", "und", "nicht"],
-    "fr": ["le", "les", "des", "est", "une"],
-    "es": ["el", "los", "las", "es", "una"],
-    "it": ["il", "gli", "delle", "che", "una"],
+# Per-language character-trigram profiles (top frequent trigrams over
+# space-padded lowercase text; public frequency knowledge — the kind of
+# table any Leipzig/UDHR corpus yields). Shared trigrams across languages
+# are deliberate: the multinomial vote wins on total own-profile coverage,
+# not on exclusive markers. The language SET and collapse (en→default,
+# cld3-style) mirror the reference's get_language
+# (/root/reference/code/B2_process_features.py:125-132).
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "de": ["en ", " de", "der", "er ", "ie ", "die", " di", "und", "nd ",
+           " un", "ch ", "ein", "ung", "ng ", "sch", "che", "ich", " ge",
+           "ten", "cht", "in ", " ei", "ne ", "ber", "gen", "das", " da",
+           "te ", "auf", " au"],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "es ", "as ",
+           " co", "ión", "ón ", "en ", " en", "ent", "que", " qu", "ue ",
+           "ado", "nte", "aci", "con", "res", "sta", "ara", " es", "o d",
+           "a d", "ra ", "os,"],
+    "fr": [" de", "de ", "es ", " le", "le ", "ent", "nt ", "la ", " la",
+           "ion", "on ", "re ", "s d", "e d", "e l", "et ", " et", "les",
+           "que", " qu", "ue ", " pa", "tio", "ns ", "ait", "our", " co",
+           "ur ", "une", " un"],
+    "it": [" di", "di ", "to ", "la ", " la", "el ", "re ", " co", "ion",
+           "one", "ne ", "che", " ch", "lla", "ell", "ta ", " de", "del",
+           "ere", "nte", "ti ", " in", "zio", "ato", "gli", "o d", "a d",
+           " pr", "pre", "ita"],
+    "ru": [" пр", "при", " на", "на ", "ого", "го ", "ени", "ние", "ие ",
+           "ост", "ть ", "ать", "ет ", "тся", " по", "по ", "ова", "ств",
+           "его", " не", "но ", " ко", "ия ", " со", "ли ", " в ", "ах ",
+           " ме", "ред", "ста"],
+    "default": [" th", "the", "he ", "ed ", " an", "and", "nd ", " of",
+                "of ", "ing", "ng ", " in", "in ", "ion", " to", "to ",
+                "ent", " co", "er ", "es ", "ati", "at ", "is ", " re",
+                "tio", "on ", "was", " wa", "s a", "e s"],
 }
+# deterministic tie-break preference (first profile hitting `best` wins)
+LANG_TRIGRAM_ORDER = ["de", "es", "fr", "it", "ru", "default"]
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -99,25 +128,45 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Marker-token vote; ties and zero-evidence resolve to 'en' then marker
-    order — fully deterministic and SQL-expressible."""
-    w = words(text_col)
+    """cld3-class char-trigram multinomial vote over LANG_TRIGRAMS.
 
-    def marker_pred(markers: list[str]):
+    Score(lang) = occurrences of lang-profile trigrams in the space-padded,
+    whitespace-collapsed lowercase text; argmax with the fixed
+    LANG_TRIGRAM_ORDER tie-break; zero evidence → 'default'. Output set
+    {de,fr,ru,es,it,default} matches the reference's get_language collapse
+    (B2_process_features.py:125-132; en folds into 'default' there too).
+    Integer scoring end to end — whole-stage codegen, no UDF, and the
+    DuckDB oracle reproduces it exactly."""
+
+    def gram_pred(grams: list[str]):
         # NB: the HOF lambda must take exactly one parameter — a second one
         # would be bound to the array index by Spark, not to a closure value
-        return lambda x: x.isin(markers)
+        return lambda g: g.isin(grams)
 
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        F.lit(" "),
+    )
+    d = df.withColumn("_lnorm", norm).withColumn(
+        "_grams",
+        F.when(
+            F.length("_lnorm") >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length("_lnorm") - 2),
+                lambda i: F.col("_lnorm").substr(i, F.lit(3)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     scores = {
-        lang: F.size(F.filter(w, marker_pred(markers)))
-        for lang, markers in LANG_MARKERS.items()
+        lang: F.size(F.filter(F.col("_grams"), gram_pred(tris)))
+        for lang, tris in LANG_TRIGRAMS.items()
     }
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[scores[lang] for lang in langs])
-    expr = F.lit("en")
-    for lang in reversed(langs):
+    best = F.greatest(*[scores[lang] for lang in LANG_TRIGRAM_ORDER])
+    expr = F.lit("default")
+    for lang in reversed(LANG_TRIGRAM_ORDER):
         expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    return d.withColumn(out_col, expr).drop("_lnorm", "_grams")
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

@@ -31,9 +31,10 @@ Scale design (10^12 docs, 1000 executors):
 - candidate joins carry bucket caps + optional salting (operators/joins.py),
 - CC rounds localCheckpoint to keep plans flat; edges are a tiny fraction
   of corpus size after verification,
-- doc ids are xxhash64(url): at 10^12 urls expect ~a few 10^4 random 64-bit
-  collisions (birthday bound) — these can only over-merge a handful of
-  clusters; switch to dual-seed 128-bit ids if that matters.
+- doc ids default to dual-salt 128-bit struct<h1,h2> hashes of (url,
+  warc_ts): collision-free in practice at 10^12 urls, where single 64-bit
+  ids would take ~10^4 birthday collisions (each a silent cluster
+  over-merge). ``PipelineConfig(id_bits=64)`` opts back into long ids.
 """
 
 from __future__ import annotations
@@ -92,11 +93,30 @@ class PipelineConfig:
     # — no disk round-trips, no resume; used by throughput benchmarking
     # where the 7 write+read barriers would serialize the run.
     checkpoint_stages: bool = True
+    # 128 (default): doc ids are struct<h1,h2> of two independently-salted
+    # xxhash64 values — collision-free in practice at 10^12 urls (64-bit
+    # ids expect ~10^4 birthday collisions there, each a silent cluster
+    # over-merge). 64: legacy single xxhash64 long ids (smaller shuffles;
+    # fine below ~10^9 docs).
+    id_bits: int = 128
 
     def fingerprint(self) -> str:
         return hashlib.sha1(
             json.dumps(asdict(self), sort_keys=True, default=str).encode()
         ).hexdigest()
+
+
+def _doc_id_expr(cfg: PipelineConfig, id_cols: list[str]):
+    """Deterministic doc id from the natural key. 128-bit mode pairs two
+    xxhash64 values under different salts (Spark's xxhash64 seed is fixed,
+    so the salt literal supplies the second hash family); struct<h1,h2>
+    ids order/join/group natively everywhere downstream (CC included)."""
+    if cfg.id_bits == 128:
+        return F.struct(
+            F.xxhash64(*id_cols).alias("h1"),
+            F.xxhash64(F.lit("docid-salt-2"), *id_cols).alias("h2"),
+        ).alias("doc_id")
+    return F.xxhash64(*id_cols).alias("doc_id")
 
 
 def dedup_pipeline(
@@ -135,7 +155,7 @@ def dedup_pipeline(
     # SHA-1 repID freq upsert). doc_id hashes (url, warc_ts) when the
     # timestamp exists so recrawls of the same url stay distinct rows.
     id_cols = ["url", "warc_ts"] if "warc_ts" in pages.columns else ["url"]
-    doc_id = F.xxhash64(*id_cols).alias("doc_id")
+    doc_id = _doc_id_expr(cfg, id_cols)
     text_sha = F.sha2(F.col("text"), 256).alias("text_sha")
 
     def _collapse() -> DataFrame:
@@ -354,7 +374,9 @@ def dedup_pipeline_full(
         return run_stage(spark, workdir, name, in_fp, cfg_fp, compute, run_id=run_id)
 
     id_cols = ["url", "warc_ts"] if "warc_ts" in pages.columns else ["url"]
-    docs = pages.withColumn("doc_id", F.xxhash64(*id_cols)).dropDuplicates(["doc_id"])
+    docs = pages.withColumn(
+        "doc_id", _doc_id_expr(cfg, id_cols)
+    ).dropDuplicates(["doc_id"])
 
     duplicates, _ = stage(
         "duplicates",

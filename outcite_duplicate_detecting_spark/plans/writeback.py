@@ -50,16 +50,19 @@ def build_duplicates_table(
     joined = assignments.select(cluster_col, id_col).join(
         docs.select(id_col, text_col), id_col
     )
+    # min_by over (−length, id): longest text wins, ties → smallest id.
+    # Ascending id comparison works for ANY orderable id type (long ids,
+    # 128-bit struct ids) — a negated-id max_by would not.
     order_key = F.struct(
-        F.length(text_col).alias("l"), (-F.col(id_col)).alias("i")
+        (-F.length(text_col)).alias("l"), F.col(id_col).alias("i")
     )
     return (
         joined.groupBy(cluster_col)
         .agg(
             F.count("*").alias("n_members"),
             F.sort_array(F.collect_list(id_col)).alias("member_ids"),
-            F.max_by(F.col(id_col), order_key).alias("canonical_id"),
-            F.max_by(F.col(text_col), order_key).alias(text_col),
+            F.min_by(F.col(id_col), order_key).alias("canonical_id"),
+            F.min_by(F.col(text_col), order_key).alias(text_col),
         )
         .where(F.col("n_members") > 1)
         .select(cluster_col, "canonical_id", "n_members", "member_ids", text_col)

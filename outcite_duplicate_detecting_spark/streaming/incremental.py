@@ -93,14 +93,29 @@ def stream_dedup_first_seen(
     state_schema = "freq long"
 
     def label(key, pdfs, state: GroupState):
+        import numpy as np
+
         (freq,) = state.get if state.exists else (0,)
-        rows = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(["warc_ts", "url"]).iterrows():
-                rows.append((key[0], r["url"], freq, freq > 0))
-                freq += 1
-        state.update((freq,))
-        yield pd.DataFrame(rows, columns=["text_sha", "url", "dup_rank", "is_duplicate"])
+        # concatenate ALL of the group's Arrow chunks before the one sort:
+        # chunk-local sorting would make the rank order (and the rank-0
+        # keeper) depend on chunk arrival order when a key spans chunks
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["warc_ts", "url"], ignore_index=True
+        )
+        ranks = np.arange(freq, freq + len(pdf))
+        out = pd.DataFrame(
+            {
+                "text_sha": key[0],
+                "url": pdf["url"],
+                "dup_rank": ranks,
+                "is_duplicate": ranks > 0,
+            }
+        )
+        state.update((freq + len(pdf),))
+        yield out
 
     labeled = stream.groupBy("text_sha").applyInPandasWithState(
         label, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -46,17 +46,59 @@ def test_token_stats_and_quality(spark):
     assert rows[1]["punct_ppm"] == (2 * 1000000) // 25
 
 
-def test_language_id(spark):
-    df = spark.createDataFrame(
-        [
-            (1, "the cat and the dog of the house"),
-            (2, "der hund und die katze und das haus"),
-            (3, "xyz qrs tuv"),
-        ],
-        "id long, text string",
-    )
-    rows = {r["id"]: r["lang_pred"] for r in language_id(df).collect()}
-    assert rows[1] == "en" and rows[2] == "de" and rows[3] == "en"
+LANG_FIXTURES = {
+    "default": [
+        "The quick brown fox jumps over the lazy dog and runs into the forest.",
+        "This paper was presented at the international conference on machine learning.",
+        "We introduce a new method for detecting duplicate documents in web archives.",
+        "In this section we describe the experimental setup and evaluation metrics used.",
+    ],
+    "de": [
+        "Der schnelle braune Fuchs springt über den faulen Hund und läuft in den Wald.",
+        "Diese Arbeit wurde auf der internationalen Konferenz vorgestellt und diskutiert.",
+        "Wir stellen eine neue Methode zur Erkennung von doppelten Dokumenten vor.",
+    ],
+    "fr": [
+        "Le renard brun rapide saute par-dessus le chien paresseux et court dans la forêt.",
+        "Cet article a été présenté lors de la conférence internationale sur l'apprentissage.",
+        "Nous présentons une nouvelle méthode pour détecter les documents en double.",
+    ],
+    "es": [
+        "El rápido zorro marrón salta sobre el perro perezoso y corre hacia el bosque.",
+        "Este artículo fue presentado en la conferencia internacional de aprendizaje automático.",
+        "Presentamos un nuevo método para detectar documentos duplicados en archivos web.",
+    ],
+    "it": [
+        "La rapida volpe marrone salta sopra il cane pigro e corre nella foresta.",
+        "Questo articolo è stato presentato alla conferenza internazionale di apprendimento.",
+        "Presentiamo un nuovo metodo per rilevare documenti duplicati negli archivi web.",
+    ],
+    "ru": [
+        "Быстрая коричневая лиса прыгает через ленивую собаку и бежит в лес.",
+        "Эта статья была представлена на международной конференции по машинному обучению.",
+        "Мы представляем новый метод обнаружения дубликатов документов в веб-архивах.",
+    ],
+}
+
+
+def test_language_id_multilingual_accuracy(spark):
+    """Planted fixtures in every collapse-set language (reference set
+    {de,fr,ru,es,it,default}, B2_process_features.py:125-132): the trigram
+    multinomial must classify all of them, plus degenerate inputs →
+    'default'."""
+    rows = [
+        (f"{want}:{i}", t)
+        for want, texts in LANG_FIXTURES.items()
+        for i, t in enumerate(texts)
+    ] + [("deg:empty", ""), ("deg:null", None), ("deg:junk", "xq zr vw")]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: r["lang_pred"] for r in language_id(df).collect()}
+    for key, pred in got.items():
+        want = key.split(":")[0]
+        if want == "deg":
+            assert pred == "default", (key, pred)
+        else:
+            assert pred == want, (key, pred)
 
 
 def test_knn_cosine_brute_matches_numpy(spark):
@@ -156,6 +198,30 @@ def test_multimodal_plumbing(spark):
         extract_features(media, deterministic_fake=False).collect()
 
 
+def test_multimodal_real_decode_with_codec(spark):
+    """Real decode path — runs only where Pillow is installed (skipped in
+    this container); valid PNGs decode to a normalized intensity
+    histogram, corrupt payloads come back decode_ok=false (drop-accounted,
+    not raised)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    buf = io.BytesIO()
+    PIL.Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(png), 4, 4, 0),
+         (2, "image/png", bytearray(b"corrupt"), 0, 0, 0)],
+        "media_id long, modality string, content binary, meta_width int, "
+        "meta_height int, meta_duration_ms int",
+    )
+    rows = {r["media_id"]: r for r in
+            extract_features(media, feature_dim=8, deterministic_fake=False).collect()}
+    assert rows[1]["decode_ok"] and abs(sum(rows[1]["feature"]) - 1.0) < 1e-6
+    assert rows[1]["feature"][4] == 1.0  # all 16 px = 128 -> bin 4 of 8
+    assert not rows[2]["decode_ok"] and rows[2]["feature"] is None
+
+
 def test_streaming_incremental(spark, tmp_path):
     from outcite_duplicate_detecting_spark.streaming.incremental import (
         incremental_new_rows,
@@ -226,7 +292,13 @@ def test_ann_ivf_matches_numpy_ivf(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     n_cells, n_probe, k = 8, 3, 4
-    got = ann_ivf_cosine(df, q, AnnIvfConfig(n_cells=n_cells, n_probe=n_probe, k=k)).collect()
+    ivf = ann_ivf_cosine(df, q, AnnIvfConfig(n_cells=n_cells, n_probe=n_probe, k=k))
+    # default centroids must come from a distributed TakeOrdered (orderBy +
+    # limit), never a global single-partition sort/window over the table
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+    got = ivf.collect()
 
     v = vecs.astype(np.float64)
     norms = np.linalg.norm(v, axis=1)
@@ -297,3 +369,60 @@ def test_stream_dedup_first_seen_state_survives_restart(spark, tmp_path):
     got2 = {r["url"]: r for r in spark.read.parquet(out).collect()}
     assert got2["u4"]["dup_rank"] == 2 and got2["u4"]["is_duplicate"]
     assert got2["u5"]["dup_rank"] == 0 and not got2["u5"]["is_duplicate"]
+
+
+def test_whitespace_lm_matches_reference_generator(spark):
+    """Context counts equal an independent python re-implementation of the
+    reference generator (M_train_whitespace_LM.py:36-45: across = last/
+    first nchar of consecutive words, within = every in-word split)."""
+    from collections import Counter
+
+    from outcite_duplicate_detecting_spark.operators.whitespace_lm import whitespace_lm
+
+    texts = [
+        "The qui\nck brown fox",
+        "jumps OVER the lazy\r\ndog again",
+        "a ab abc abcd",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["across"], r["h"], r["w"]): r["freq"]
+        for r in whitespace_lm(df, nchar=3, min_freq=1).collect()
+    }
+    c = Counter()
+    for t in texts:
+        words = (t or "").replace("\n", " ").replace("\r", " ").lower().split()
+        for i in range(1, len(words)):
+            c[(True, words[i - 1][-3:], words[i][:3])] += 1
+        for word in words:
+            for i in range(1, len(word)):
+                c[(False, word[:i][-3:], word[i:][:3])] += 1
+    assert got == dict(c)
+
+
+def test_whitespace_lm_p_separate_decisions(spark):
+    """Train on a corpus where 'foo bar' is always separated and 'qux'
+    splits only within-word; the scorer must mirror the reference's
+    check_sep rule (separate iff p > 0.01, together iff p < 0.01)."""
+    from outcite_duplicate_detecting_spark.operators.whitespace_lm import (
+        p_separate,
+        whitespace_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [("foo bar baz foo bar",), ("quxquxqux zap",), ("foo bar",)], "text string"
+    )
+    model = whitespace_lm(corpus, nchar=3, min_freq=1)
+    pairs = spark.createDataFrame(
+        [("foo", "bar"), ("quxq", "uxqux"), ("zz", "yy")], "w1 string, w2 string"
+    )
+    got = {(r["w1"], r["w2"]): r for r in p_separate(pairs, model, nchar=3).collect()}
+    assert got[("foo", "bar")]["decision"] == "separate"
+    # 'q' + 'uxq' boundary has within-word evidence only -> p_sep == 0
+    assert got[("quxq", "uxqux")]["p_separate_ppm"] == 0
+    assert got[("quxq", "uxqux")]["decision"] == "together"
+    # never-seen context: sep = 0 -> p = 0 -> 'together' (reference rule:
+    # prob_sep returns [0, 0.01] and 0 < 0.01)
+    assert got[("zz", "yy")]["decision"] == "together"

@@ -139,6 +139,21 @@ def test_pipeline_simhash_config_covers_hamming_tail(spark):
     assert want <= got  # every planted 4..7 pair caught — exact tail coverage
 
 
+def test_pipeline_id_bits_64_matches_128_clustering(spark, run, tmp_path):
+    """id_bits=64 (legacy long ids) and the 128-bit struct default must
+    produce the same PARTITION of urls into clusters (ids are internal —
+    only the grouping is semantics)."""
+    pages, gold, out, _ = run
+    cfg = PipelineConfig(id_bits=64)
+    out64 = dedup_pipeline(spark, pages, cfg, workdir=str(tmp_path),
+                           input_fingerprint="corpus-11", run_id="r64")
+    assert dict(out64.dtypes)["cluster_id"] == "bigint"
+    assert dict(out.dtypes)["cluster_id"].startswith("struct")
+    p128 = pair_sets([(r["url"], r["cluster_id"]) for r in out.collect()], "c")
+    p64 = pair_sets([(r["url"], r["cluster_id"]) for r in out64.collect()], "c")
+    assert p128 == p64
+
+
 def test_pipeline_detects_config_change(spark, run):
     """Changing the detector config must invalidate the checkpoint, not
     silently reuse it."""

@@ -23,15 +23,20 @@ from outcite_duplicate_detecting_spark.plans.pipeline import PipelineConfig, ded
 
 cores = int(sys.argv[1]); corpus = sys.argv[2]; workdir = sys.argv[3]
 light = len(sys.argv) > 4 and sys.argv[4] == "light"
+# mirror bench.py's scaling snippet exactly: data-sized shuffle
+# partitions, identical across legs
 spark = get_spark(cores=cores, app_name=f"profile-{cores}",
-                  shuffle_partitions=max(cores * 2, 16))
+                  shuffle_partitions=32)
 pages = spark.read.parquet(corpus)
 t0 = time.time()
 out = dedup_pipeline(spark, pages, PipelineConfig(checkpoint_stages=not light),
                      workdir=workdir, run_id=f"p{cores}")
+t1 = time.time()
 n = out.count()
 dups = out.where(out.is_duplicate).count()
 wall = time.time() - t0
+print(f"STAGE_TIMING final_counts {time.time() - t1:.2f}s", flush=True)
+print(f"STAGE_TIMING pipeline_body {t1 - t0:.2f}s", flush=True)
 print(json.dumps({"cores": cores, "wall_sec": round(wall, 2), "docs": n,
                   "docs_per_sec": round(n / wall, 1), "dup_rows": dups}))
 spark.stop()
@@ -54,12 +59,18 @@ def main() -> None:
     gen.stop()
 
     env = dict(os.environ, SPARK_GRAFT_STAGE_TIMING="1")
+    import shutil as _sh
+
     for cores in core_list:
         workdir = os.path.join(tmp, f"work{cores}")
+        os.sync()
+        # pin to exactly `cores` CPUs — same core-bounded-executor
+        # emulation as bench.py's scaling legs
+        pin = ["taskset", "-c", f"0-{cores - 1}"] if _sh.which("taskset") else []
         proc = subprocess.run(
-            [sys.executable, "-c", SNIPPET.replace("__REPO__", REPO), str(cores),
+            pin + [sys.executable, "-c", SNIPPET.replace("__REPO__", REPO), str(cores),
              corpus_dir, workdir] + (["light"] if light else []),
-            capture_output=True, text=True, timeout=3600, env=env,
+            capture_output=True, text=True, timeout=5400, env=env,
         )
         print(f"--- cores={cores} ---")
         for ln in proc.stdout.splitlines():
