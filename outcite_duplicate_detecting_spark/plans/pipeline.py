@@ -31,10 +31,13 @@ Scale design (10^12 docs, 1000 executors):
 - candidate joins carry bucket caps + optional salting (operators/joins.py),
 - CC rounds localCheckpoint to keep plans flat; edges are a tiny fraction
   of corpus size after verification,
-- doc ids default to dual-salt 128-bit struct<h1,h2> hashes of (url,
-  warc_ts): collision-free in practice at 10^12 urls, where single 64-bit
-  ids would take ~10^4 birthday collisions (each a silent cluster
-  over-merge). ``PipelineConfig(id_bits=64)`` opts back into long ids.
+- doc ids are xxhash64(url, warc_ts) longs by default;
+  ``PipelineConfig(id_bits=128)`` switches every id to a dual-salt
+  struct<h1,h2> — collision-free in practice at 10^12 urls, where 64-bit
+  ids expect ~10^4 birthday collisions (each a silent over-merge). The
+  whole dataflow is id-type-agnostic, so the flag is the only change; the
+  cost is measured at +43% (struct keys lose radix-sort/codegen fast
+  paths), which is why longs stay the default below ~10^9 docs.
 """
 
 from __future__ import annotations
@@ -93,12 +96,18 @@ class PipelineConfig:
     # — no disk round-trips, no resume; used by throughput benchmarking
     # where the 7 write+read barriers would serialize the run.
     checkpoint_stages: bool = True
-    # 128 (default): doc ids are struct<h1,h2> of two independently-salted
-    # xxhash64 values — collision-free in practice at 10^12 urls (64-bit
-    # ids expect ~10^4 birthday collisions there, each a silent cluster
-    # over-merge). 64: legacy single xxhash64 long ids (smaller shuffles;
-    # fine below ~10^9 docs).
-    id_bits: int = 128
+    # 64 (default): single xxhash64 long ids. 128: struct<h1,h2> of two
+    # independently-salted xxhash64 values — collision-free in practice at
+    # 10^12 urls, where 64-bit ids expect ~10^4 birthday collisions (each
+    # a silent cluster over-merge). The 128-bit path is fully supported
+    # (CC, writeback, expand are id-type-agnostic; clustering parity is
+    # pytest-pinned) but MEASURED +43% end-to-end at 800k docs/8 cores
+    # (611.7s vs 428.1s, back-to-back A/B): struct keys lose radix
+    # sort/codegen fast paths in every band-join, distinct, and exchange.
+    # Below ~10^9 docs the collision risk is nil, so the fast long ids are
+    # the default; set id_bits=128 for 10^11+ deployments where the
+    # birthday bound bites.
+    id_bits: int = 64
 
     def fingerprint(self) -> str:
         return hashlib.sha1(
@@ -188,131 +197,145 @@ def dedup_pipeline(
     # membership depends only on collapse and is not consumed until expand —
     # run it on a side thread so its join overlaps the sign/detector phase
     # instead of serializing the critical path (Spark schedules jobs from
-    # multiple driver threads concurrently)
+    # multiple driver threads concurrently). The pool is shut down in the
+    # finally below: without it, a detector/CC failure would leave the
+    # concurrent membership job running through the unwind and mask the
+    # real exception.
     membership_pool = ThreadPoolExecutor(max_workers=1)
     membership_fut = membership_pool.submit(stage, "membership", _membership)
-    # detectors are UDF-bound, not byte-bound: spread them over the cores
-    # rather than letting AQE coalesce the (small-on-disk) checkpoint files
-    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
-    reps = (
-        collapsed.select("rep_id", "text", "freq")
-        .where(F.length("text") >= cfg.min_text_chars)
-        .repartition(n_parts, "rep_id")
-    )
-    if not cfg.checkpoint_stages:
-        # light mode: materialize once for the sign stage + substring
-        # verify. In checkpoint mode `collapsed` is already parquet-backed,
-        # so consumers re-read the (cheap, columnar) checkpoint instead of
-        # pinning the corpus text as block-manager RDD blocks for the whole
-        # detector phase — localCheckpoint blocks are evictable under the
-        # concurrent detectors' execution-memory pressure, and a "checkpoint
-        # block not found" then kills the job (observed at 800k docs on a
-        # 2-core leg)
-        reps = reps.localCheckpoint(eager=True)
-
-    # --- sign: ONE Arrow pass computes every detector's signature
-    # (operators/signatures.py): one text transfer, one shingling, one
-    # checkpoint instead of three per-detector UDF chains. The parquet
-    # stage checkpoint then serves each detector via column pruning.
-    from ..operators.minhash import minhash_candidate_pairs, verify_jaccard
-    from ..operators.signatures import add_all_signatures
-    from ..operators.simhash import simhash_verified_pairs
-    from ..operators.substring import containment_verify
-    from ..operators.joins import band_candidate_pairs
-
-    def _sign() -> DataFrame:
-        return add_all_signatures(
-            reps.select("rep_id", "text"), cfg.minhash, cfg.simhash, cfg.substring
-        ).select("rep_id", "shingle_hashes", "minhash_sig", "simhash", "fingerprints")
-
-    signed, _ = stage("sign", _sign)
-    if not cfg.checkpoint_stages:
-        # light mode returns a LAZY checkpoint; force one materialization
-        # before three concurrent consumers race to compute it
-        signed.count()
-
-    # --- candidate joins + verification, one per detector; these are
-    # independent given `signed`, so their stage jobs run concurrently —
-    # one detector's serialized tail (AQE re-plans, driver round-trips,
-    # small final stages) overlaps another's join work. This is what lifts
-    # cluster utilization (and N→4N scaling).
-    def _minhash() -> DataFrame:
-        s = signed.select(
-            F.col("rep_id").alias("id"), "shingle_hashes", "minhash_sig"
+    try:
+        # detectors are UDF-bound, not byte-bound: spread them over the cores
+        # rather than letting AQE coalesce the (small-on-disk) checkpoint files
+        n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+        reps = (
+            collapsed.select("rep_id", "text", "freq")
+            .where(F.length("text") >= cfg.min_text_chars)
+            .repartition(n_parts, "rep_id")
         )
-        cands = minhash_candidate_pairs(s, cfg.minhash, id_col="id")
-        return verify_jaccard(
-            cands.pairs, s.select("id", "shingle_hashes"), cfg.minhash
-        )
+        if not cfg.checkpoint_stages:
+            # light mode: materialize once for the sign stage + substring
+            # verify. In checkpoint mode `collapsed` is already parquet-backed,
+            # so consumers re-read the (cheap, columnar) checkpoint instead of
+            # pinning the corpus text as block-manager RDD blocks for the whole
+            # detector phase — localCheckpoint blocks are evictable under the
+            # concurrent detectors' execution-memory pressure, and a "checkpoint
+            # block not found" then kills the job (observed at 800k docs on a
+            # 2-core leg)
+            reps = reps.localCheckpoint(eager=True)
 
-    def _simhash() -> DataFrame:
-        # fused join-verify: Hamming filter runs inside the band join's
-        # codegen — no candidate materialization (critical at multi-probe
-        # posting volumes)
-        s = signed.select(F.col("rep_id").alias("id"), "simhash")
-        verified, _drops = simhash_verified_pairs(s, cfg.simhash, id_col="id")
-        return verified
+        # --- sign: ONE Arrow pass computes every detector's signature
+        # (operators/signatures.py): one text transfer, one shingling, one
+        # checkpoint instead of three per-detector UDF chains. The parquet
+        # stage checkpoint then serves each detector via column pruning.
+        from ..operators.minhash import minhash_candidate_pairs, verify_jaccard
+        from ..operators.signatures import add_all_signatures
+        from ..operators.simhash import simhash_verified_pairs
+        from ..operators.substring import containment_verify
+        from ..operators.joins import band_candidate_pairs
 
-    def _substring() -> DataFrame:
-        fps = signed.select(
-            F.col("rep_id").alias("id"), F.explode("fingerprints").alias("fp")
-        )
-        cands = band_candidate_pairs(
-            fps,
-            key_cols=["fp"],
-            id_col="id",
-            max_bucket_size=cfg.substring.max_fingerprint_df,
-            salt=cfg.substring.salt,
-        )
-        base = reps.select(F.col("rep_id").alias("id"), "text")
-        return containment_verify(cands.pairs, base, cfg.substring.min_len)
+        def _sign() -> DataFrame:
+            return add_all_signatures(
+                reps.select("rep_id", "text"), cfg.minhash, cfg.simhash, cfg.substring
+            ).select("rep_id", "shingle_hashes", "minhash_sig", "simhash", "fingerprints")
 
-    detector_work: list[tuple[str, object, object]] = []
-    if cfg.use_minhash:
-        detector_work.append(
-            ("minhash", _minhash, lambda df: df.select("id1", "id2"))
-        )
-    if cfg.use_simhash:
-        detector_work.append(
-            ("simhash", _simhash, lambda df: df.select("id1", "id2"))
-        )
-    if cfg.use_substring:
-        detector_work.append(
-            (
-                "substring",
-                _substring,
-                lambda df: df.select(
-                    F.col("inner_id").alias("id1"), F.col("outer_id").alias("id2")
-                ),
+        signed, _ = stage("sign", _sign)
+        if not cfg.checkpoint_stages:
+            # light mode returns a LAZY checkpoint; force one materialization
+            # before three concurrent consumers race to compute it
+            signed.count()
+
+        # --- candidate joins + verification, one per detector; these are
+        # independent given `signed`, so their stage jobs run concurrently —
+        # one detector's serialized tail (AQE re-plans, driver round-trips,
+        # small final stages) overlaps another's join work. This is what lifts
+        # cluster utilization (and N→4N scaling).
+        def _minhash() -> DataFrame:
+            s = signed.select(
+                F.col("rep_id").alias("id"), "shingle_hashes", "minhash_sig"
             )
-        )
-
-    edge_frames: list[DataFrame] = []
-    n_threads = cfg.detector_threads or max(len(detector_work), 1)
-    with ThreadPoolExecutor(max_workers=n_threads) as pool:
-        futures = [
-            (post, pool.submit(stage, name, compute))
-            for name, compute, post in detector_work
-        ]
-        for post, fut in futures:
-            df, _resumed = fut.result()
-            edge_frames.append(post(df))
-
-    def _components() -> DataFrame:
-        if not edge_frames:
-            return reps.select(
-                F.col("rep_id").alias("id"), F.col("rep_id").alias("component")
+            cands = minhash_candidate_pairs(s, cfg.minhash, id_col="id")
+            return verify_jaccard(
+                cands.pairs, s.select("id", "shingle_hashes"), cfg.minhash
             )
-        edges = edge_frames[0]
-        for e in edge_frames[1:]:
-            edges = edges.unionByName(e)
-        return connected_components(
-            edges, src="id1", dst="id2", nodes=reps.select(F.col("rep_id").alias("id"))
-        )
 
-    labels, _ = stage("components", _components)
-    membership, _ = membership_fut.result()
-    membership_pool.shutdown()
+        def _simhash() -> DataFrame:
+            # fused join-verify: Hamming filter runs inside the band join's
+            # codegen — no candidate materialization (critical at multi-probe
+            # posting volumes)
+            s = signed.select(F.col("rep_id").alias("id"), "simhash")
+            verified, _drops = simhash_verified_pairs(s, cfg.simhash, id_col="id")
+            return verified
+
+        def _substring() -> DataFrame:
+            fps = signed.select(
+                F.col("rep_id").alias("id"), F.explode("fingerprints").alias("fp")
+            )
+            cands = band_candidate_pairs(
+                fps,
+                key_cols=["fp"],
+                id_col="id",
+                max_bucket_size=cfg.substring.max_fingerprint_df,
+                salt=cfg.substring.salt,
+            )
+            # verify base reads straight off `collapsed` (the checkpoint /
+            # materialized block), NOT `reps`: reps' repartition is a full
+            # text shuffle that only exists to spread the sign UDF, and
+            # containment_verify semi-join-prunes to candidate ids before
+            # touching text anyway — re-deriving reps here would re-run
+            # that corpus-wide shuffle a second time
+            base = (
+                collapsed.select(F.col("rep_id").alias("id"), "text")
+                .where(F.length("text") >= cfg.min_text_chars)
+            )
+            return containment_verify(cands.pairs, base, cfg.substring.min_len)
+
+        detector_work: list[tuple[str, object, object]] = []
+        if cfg.use_minhash:
+            detector_work.append(
+                ("minhash", _minhash, lambda df: df.select("id1", "id2"))
+            )
+        if cfg.use_simhash:
+            detector_work.append(
+                ("simhash", _simhash, lambda df: df.select("id1", "id2"))
+            )
+        if cfg.use_substring:
+            detector_work.append(
+                (
+                    "substring",
+                    _substring,
+                    lambda df: df.select(
+                        F.col("inner_id").alias("id1"), F.col("outer_id").alias("id2")
+                    ),
+                )
+            )
+
+        edge_frames: list[DataFrame] = []
+        n_threads = cfg.detector_threads or max(len(detector_work), 1)
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            futures = [
+                (post, pool.submit(stage, name, compute))
+                for name, compute, post in detector_work
+            ]
+            for post, fut in futures:
+                df, _resumed = fut.result()
+                edge_frames.append(post(df))
+
+        def _components() -> DataFrame:
+            if not edge_frames:
+                return reps.select(
+                    F.col("rep_id").alias("id"), F.col("rep_id").alias("component")
+                )
+            edges = edge_frames[0]
+            for e in edge_frames[1:]:
+                edges = edges.unionByName(e)
+            return connected_components(
+                edges, src="id1", dst="id2", nodes=reps.select(F.col("rep_id").alias("id"))
+            )
+
+        labels, _ = stage("components", _components)
+        membership, _ = membership_fut.result()
+    finally:
+        membership_pool.shutdown(wait=False, cancel_futures=True)
 
     # --- expand back to every url through the exact-dup membership
     def _expand() -> DataFrame:

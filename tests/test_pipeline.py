@@ -139,18 +139,19 @@ def test_pipeline_simhash_config_covers_hamming_tail(spark):
     assert want <= got  # every planted 4..7 pair caught — exact tail coverage
 
 
-def test_pipeline_id_bits_64_matches_128_clustering(spark, run, tmp_path):
-    """id_bits=64 (legacy long ids) and the 128-bit struct default must
-    produce the same PARTITION of urls into clusters (ids are internal —
-    only the grouping is semantics)."""
+def test_pipeline_id_bits_128_matches_64_clustering(spark, run, tmp_path):
+    """id_bits=128 (collision-safe struct<h1,h2> ids for 10^11+ corpora)
+    and the long-id default must produce the same PARTITION of urls into
+    clusters (ids are internal — only the grouping is semantics). This is
+    the pytest pin that keeps the 128-bit path one flag away."""
     pages, gold, out, _ = run
-    cfg = PipelineConfig(id_bits=64)
-    out64 = dedup_pipeline(spark, pages, cfg, workdir=str(tmp_path),
-                           input_fingerprint="corpus-11", run_id="r64")
-    assert dict(out64.dtypes)["cluster_id"] == "bigint"
-    assert dict(out.dtypes)["cluster_id"].startswith("struct")
-    p128 = pair_sets([(r["url"], r["cluster_id"]) for r in out.collect()], "c")
-    p64 = pair_sets([(r["url"], r["cluster_id"]) for r in out64.collect()], "c")
+    cfg = PipelineConfig(id_bits=128)
+    out128 = dedup_pipeline(spark, pages, cfg, workdir=str(tmp_path),
+                            input_fingerprint="corpus-11", run_id="r128")
+    assert dict(out128.dtypes)["cluster_id"].startswith("struct")
+    assert dict(out.dtypes)["cluster_id"] == "bigint"
+    p128 = pair_sets([(r["url"], r["cluster_id"]) for r in out128.collect()], "c")
+    p64 = pair_sets([(r["url"], r["cluster_id"]) for r in out.collect()], "c")
     assert p128 == p64
 
 

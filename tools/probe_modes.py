@@ -1,7 +1,7 @@
 """Interleaved checkpoint-vs-light A/B probe at fixed core counts.
 
-Usage: python tools/probe_modes.py <n_docs> <mode:cores> [<mode:cores> ...]
-e.g.   python tools/probe_modes.py 800000 light:8 ckpt:8 light:8 ckpt:8
+Usage: python tools/probe_modes.py <n_docs> <mode:cores[:mem]> [...]
+e.g.   python tools/probe_modes.py 800000 light:8 ckpt:8:64g light:8 ckpt:8
 
 One corpus, one leg per fresh pinned JVM, legs run in the given order —
 interleaving distinguishes the host's sporadic ~2x slow state (hits one
@@ -57,8 +57,11 @@ def main() -> None:
     generate_bench_pages(gen, n_docs, parts=64).write.mode("overwrite").parquet(corpus_dir)
     gen.stop()
 
-    env = dict(os.environ, SPARK_GRAFT_STAGE_TIMING="1")
-    for i, (mode, cores) in enumerate(legs):
+    for i, leg in enumerate(legs):
+        mode, cores = leg[0], leg[1]
+        env = dict(os.environ, SPARK_GRAFT_STAGE_TIMING="1")
+        if len(leg) > 2:
+            env["SPARK_GRAFT_DRIVER_MEM"] = leg[2]
         workdir = os.path.join(tmp, f"work{i}")
         os.sync()
         pin = ["taskset", "-c", f"0-{int(cores) - 1}"] if shutil.which("taskset") else []
@@ -67,7 +70,7 @@ def main() -> None:
                    cores, corpus_dir, workdir, mode],
             capture_output=True, text=True, timeout=5400, env=env,
         )
-        print(f"--- leg {i}: {mode}:{cores} ---", flush=True)
+        print(f"--- leg {i}: {':'.join(leg)} ---", flush=True)
         for ln in proc.stdout.splitlines():
             if ln.startswith(("STAGE_TIMING", "{")):
                 print(ln, flush=True)
