@@ -330,11 +330,10 @@ def write_bench_md(timings: dict[str, float], scaling: dict | None) -> None:
             "emulation of an N vs 4N cluster (a pandas-UDF workload uses N JVM",
             "threads + N python workers, so an unpinned small leg would silently",
             "borrow up to 2N cores and cap the",
-            f"measurable speedup at ~2×). The {ns}-vs-{nb} pair sits below this",
-            "machine's turbo/bandwidth ceiling: a pure-numpy calibration shows",
-            "identical tasks run at parity between 2 and 8 busy cores, but 1.24×",
-            "slower at 16+ busy cores — so larger pairs measure the silicon, not the",
-            "pipeline.",
+            f"measurable speedup at ~2×). The {ns}-vs-{nb} pair is the least",
+            "silicon-confounded choice on this machine (16+ busy cores always pay a",
+            "~1.24× turbo/bandwidth penalty), and the live calibration below records",
+            "what the silicon actually delivered around the legs.",
             "",
             "Leg attempts are INTERLEAVED (big, small, big, small — one slow-state",
             "window can then hit at most one attempt per leg) with an adaptive",
