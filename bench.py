@@ -269,6 +269,20 @@ def run_scaling() -> dict:
                 f"scaling run cores={cores} failed every attempt:\n"
                 + "\n---\n".join(errors[cores])
             )
+    # sickness retry: the host's degradation windows are multi-core-
+    # specific and minutes-long, so BOTH attempts of a leg can sit inside
+    # one without tripping the spread tie-break (observed: 8-core attempts
+    # 289.6s/276.1s — 1.05x spread — in a window whose independent numpy
+    # calibration read 0.278). When the mid-run calibration says the
+    # SILICON was degraded, both legs get one more interleaved attempt;
+    # the detector is the fixed numpy kernel, not the pipeline's own
+    # numbers, so this never retries on an honest-but-slow dataflow.
+    cal_mid = calibrate_host(n_small, n_big)
+    if (cal_mid["silicon_efficiency"] or 1.0) < 0.55:
+        for cores in (n_big, n_small):
+            if counters[cores] < 4:
+                run_leg(cores)
+    for cores in (n_big, n_small):
         results[cores] = min(attempts[cores], key=lambda a: a["wall_sec"])
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -277,6 +291,7 @@ def run_scaling() -> dict:
     efficiency = speedup / 4
     return {
         "host_calibration_before": cal_before,
+        "host_calibration_mid": cal_mid,
         "host_calibration_after": cal_after,
         "docs": BENCH_DOCS,
         "cores_small": n_small,
