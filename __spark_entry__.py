@@ -11,6 +11,7 @@ order-insensitive value-hash matches.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,6 +49,14 @@ from outcite_duplicate_detecting_spark.sources.tables import documents_as_pages,
 
 JACCARD_THRESHOLD = 0.8
 SHINGLE_N = 3
+
+# committed parquet of per-candidate-pair SequenceMatcher ingredients
+# (tools/make_pairverify_fixture.py) — the pairwise_verify oracle's
+# difflib stand-in; path resolved relative to this file so the oracle SQL
+# works from any checkout location
+_PAIRVERIFY_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "pairverify_overlaps.parquet"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -151,7 +160,16 @@ def q_histogram(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return _dedup.exact_duplicates(_docs(spark, sf_dir)).select(
+    """Exact (byte-identical) dedup. The sf corpora carry no byte-identical
+    texts, which made this row vacuously green (r4 verdict) — so the query
+    deterministically plants replicas (every doc_id % 20 == 0 re-keyed at
+    +1e6, same bytes) before collapsing; the oracle plants identically.
+    The operator itself is also pytest-covered on planted dups."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.where(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return _dedup.exact_duplicates(d.unionByName(planted)).select(
         "text_sha", F.col("freq").cast("long"), "canonical_id"
     )
 
@@ -1018,9 +1036,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY group_size
         """,
         "dedup_exact": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+            )
             SELECT sha256(text) AS text_sha, count(*)::BIGINT AS freq,
                    min(doc_id) AS canonical_id
-            FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+            FROM corpus GROUP BY sha256(text) HAVING count(*) > 1
         """,
         "dedup_jaccard": _JACCARD_PAIRS,
         "dedup_minhash_lsh": _JACCARD_PAIRS,
@@ -1635,26 +1658,25 @@ def oracle_sql() -> dict[str, str]:
         # rademacher_planes — every intermediate < 2^63, so BIGINT-safe),
         # then bucket join + exact cosine re-rank, all in SQL.
         "ann_lsh_cosine": """
-            WITH vecvals AS (
-              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
-                     unnest(embedding)::DOUBLE AS v
-              FROM embeddings
-            ),
-            dims AS (SELECT DISTINCT j FROM vecvals),
-            planes AS (
-              SELECT t, p, j,
-                     (1 - 2 * (((((key % 2147483648) * 2654435761 % 4294967296)
-                                  % 2147483648) * 2246822519 % 4294967296 // 32768) % 2))::DOUBLE AS s
-              FROM (
-                SELECT t.range AS t, p.range AS p, d.j AS j,
-                       ((42::BIGINT * 131071 + t.range) * 131071 + p.range) * 131071 + d.j AS key
-                FROM range(12) t, range(6) p, dims d
-              )
-            ),
-            dots AS (
-              SELECT vv.vec_id, pl.t, pl.p, SUM(pl.s * vv.v) AS dp
-              FROM vecvals vv JOIN planes pl ON pl.j = vv.j
-              GROUP BY vv.vec_id, pl.t, pl.p
+            WITH dots AS (
+              -- projection summed by list_sum over ASCENDING dimension
+              -- index (not an unordered group SUM, whose accumulation
+              -- order varies with execution parallelism): float addition
+              -- is non-associative, and a near-zero projection summed in
+              -- a different order could flip sign and change a bucket.
+              -- The Spark UDF's einsum also accumulates sequentially over
+              -- j (no BLAS dispatch for this contraction), so the orders
+              -- agree. Plane entries regenerate from the same two-round
+              -- LCG the pandas UDF uses (similarity.py rademacher_planes;
+              -- every intermediate < 2^63, BIGINT-safe).
+              SELECT e.vec_id, t.range AS t, p.range AS p,
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> (1 - 2 * ((((((((42::BIGINT * 131071 + t.range) * 131071
+                                            + p.range) * 131071 + (i - 1))
+                                          % 2147483648) * 2654435761 % 4294967296)
+                                        % 2147483648) * 2246822519 % 4294967296 // 32768) % 2))::DOUBLE
+                            * (e.embedding[i]::DOUBLE))) AS dp
+              FROM embeddings e, range(12) t, range(6) p
             ),
             sigs AS (
               SELECT vec_id, t,
@@ -1682,7 +1704,48 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cos DESC, neighbor_id) AS rn FROM scored) t
             WHERE rn <= 5
         """,
-        # pairwise_verify: difflib-dependent — not SQL-expressible; the
-        # driver records a rows-only check (pytest-oracled end-to-end in
-        # tests/test_entry_no_oracle.py).
+        # pairwise_verify: difflib's matching-block overlap is not
+        # SQL-expressible, but it IS a pure function of the two candidate
+        # texts — so a precomputed parquet fixture carries (sha1, sha2,
+        # len1, len2, overlap) per candidate pair (tools/
+        # make_pairverify_fixture.py, committed under fixtures/), keyed by
+        # text SHA so it can only match the exact texts it was built
+        # from, and every piece of classifier arithmetic (the distance
+        # formula 1 − overlap/max(len), the ppm floor, the 0.5
+        # max_title_diff gate — reference 3_update_duplicateIDs.py:132-137,
+        # configs.json:68) runs in SQL. An uncovered pair inner-join-drops
+        # to a loud row-count mismatch, never a silent pass.
+        "pairwise_verify": f"""
+            WITH clusters AS ({_CC}),
+            multi AS (
+              SELECT component_id FROM clusters
+              GROUP BY component_id HAVING count(*) > 1
+            ),
+            docs AS (
+              SELECT c.component_id AS cluster_id, c.doc_id, d.text
+              FROM clusters c
+              JOIN multi m ON c.component_id = m.component_id
+              JOIN documents d ON d.doc_id = c.doc_id
+            ),
+            cand AS (
+              SELECT a.cluster_id, a.doc_id AS id1, b.doc_id AS id2,
+                     a.text AS t1, b.text AS t2
+              FROM docs a JOIN docs b
+                ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+            ),
+            fx AS (SELECT * FROM read_parquet('{_PAIRVERIFY_FIXTURE}')),
+            scored AS (
+              SELECT c.cluster_id, c.id1, c.id2,
+                     CASE WHEN f.len1 = 0 AND f.len2 = 0 THEN 0.0
+                          ELSE 1.0 - f.overlap::DOUBLE
+                               / greatest(f.len1, f.len2, 1)::DOUBLE
+                     END AS d
+              FROM cand c
+              JOIN fx f ON f.sha1 = sha256(c.t1) AND f.sha2 = sha256(c.t2)
+            )
+            SELECT cluster_id, id1, id2,
+                   trunc(d * 1000000)::BIGINT AS title_diff_ppm,
+                   (d <= 0.5) AS is_equivalent
+            FROM scored
+        """,
     }

@@ -82,10 +82,15 @@ cores = int(sys.argv[1]); corpus = sys.argv[2]; workdir = sys.argv[3]
 # 12 GB/core keeps the SMALL leg at exactly the 24 GB every previous
 # round used (so the baseline leg cannot be accused of sandbagging) and
 # gives the big leg its fair 4x aggregate.
+# SPARK_GRAFT_FLAT_HEAP_GB pins BOTH legs to one heap — the round-5
+# control run that isolates the heap profile's contribution to the ratio
+# (advisor ask; the r4 in-session A/B already measured heap as neutral).
+flat = os.environ.get("SPARK_GRAFT_FLAT_HEAP_GB")
 mem_per_core_gb = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_GB", "12"))
+heap_gb = int(flat) if flat else cores * mem_per_core_gb
 spark = get_spark(cores=cores, app_name=f"bench-scaling-{{cores}}",
                   shuffle_partitions=32,
-                  extra_conf={{"spark.driver.memory": f"{{cores * mem_per_core_gb}}g"}})
+                  extra_conf={{"spark.driver.memory": f"{{heap_gb}}g"}})
 pages = spark.read.parquet(corpus)
 t0 = time.time()
 # durable-checkpoint mode for the timed legs — measured FASTER than light
@@ -156,7 +161,7 @@ print(time.time() - t0)
 """
 
 
-def calibrate_host(n_small: int, n_big: int) -> dict:
+def calibrate_host(n_small: int, n_big: int, rounds: int = 3) -> dict:
     """Measure the SILICON's own per-core throughput at n_small vs n_big
     busy cores with a fixed numpy integer-mix kernel (no Spark, no JVM).
 
@@ -166,7 +171,8 @@ def calibrate_host(n_small: int, n_big: int) -> dict:
     30s, and 8-busy-core per-core throughput dropping to ~0.6× of
     2-busy) — when ``silicon_efficiency`` is itself far below 1.0, the
     pipeline's recorded efficiency is bounded by the machine, not the
-    dataflow."""
+    dataflow. ``rounds=1`` is the cheap per-attempt variant attached to
+    every leg attempt (each wall time carries its own host context)."""
 
     def run_busy(n: int) -> float:
         procs = [
@@ -180,10 +186,16 @@ def calibrate_host(n_small: int, n_big: int) -> dict:
         times = [float(p.communicate(timeout=600)[0].strip()) for p in procs]
         return sum(times) / len(times)
 
-    # min of 3 interleaved rounds per level — same healthiest-sample
-    # philosophy as the legs (single samples vary 3-10x in bad windows)
-    t_small = min(run_busy(n_small) for _ in range(3))
-    t_big = min(run_busy(n_big) for _ in range(3))
+    # min over INTERLEAVED small/big rounds — same healthiest-sample
+    # philosophy as the legs (single samples vary 3-10x in bad windows),
+    # and interleaving means a minutes-long degradation window cannot
+    # cover one level's whole block while missing the other's (which
+    # would skew the ratio in either direction)
+    smalls, bigs = [], []
+    for _ in range(rounds):
+        smalls.append(run_busy(n_small))
+        bigs.append(run_busy(n_big))
+    t_small, t_big = min(smalls), min(bigs)
     return {
         "percore_sec_at_small": round(t_small, 2),
         "percore_sec_at_big": round(t_big, 2),
@@ -220,6 +232,11 @@ def run_scaling() -> dict:
     def run_leg(cores: int) -> None:
         attempt = counters[cores]
         counters[cores] += 1
+        # per-attempt silicon calibration (1 round, ~5s): EVERY wall time
+        # carries its own host context — the r4 postmortem showed a leg can
+        # sit entirely inside a degradation window that before/mid/after
+        # brackets straddle without seeing
+        cal = calibrate_host(n_small, n_big, rounds=1)
         # flush dirty pages before each timed leg: accumulated unsynced
         # writes from earlier runs throttle this leg's shuffle/checkpoint
         # writes (measured 74s vs 127s for an identical run with ~30 GB of
@@ -241,8 +258,11 @@ def run_scaling() -> dict:
         if not line:
             errors[cores].append(proc.stderr[-2000:])
             return
-        attempts[cores].append(json.loads(line[-1]))
+        attempts[cores].append({**json.loads(line[-1]), "cal": cal})
         shutil.rmtree(workdir, ignore_errors=True)
+
+    def best(cores: int) -> dict:
+        return min(attempts[cores], key=lambda a: a["wall_sec"])
 
     # silicon calibration brackets the legs: if the machine itself can't
     # scale 2→8 busy cores during the run, the recorded ratio carries
@@ -269,21 +289,28 @@ def run_scaling() -> dict:
                 f"scaling run cores={cores} failed every attempt:\n"
                 + "\n---\n".join(errors[cores])
             )
-    # sickness retry: the host's degradation windows are multi-core-
-    # specific and minutes-long, so BOTH attempts of a leg can sit inside
-    # one without tripping the spread tie-break (observed: 8-core attempts
-    # 289.6s/276.1s — 1.05x spread — in a window whose independent numpy
-    # calibration read 0.278). When the mid-run calibration says the
-    # SILICON was degraded, both legs get one more interleaved attempt;
-    # the detector is the fixed numpy kernel, not the pipeline's own
-    # numbers, so this never retries on an honest-but-slow dataflow.
-    cal_mid = calibrate_host(n_small, n_big)
-    if (cal_mid["silicon_efficiency"] or 1.0) < 0.55:
+    # sickness retry, now per-attempt-driven: if a leg's BEST attempt was
+    # measured under a degraded-silicon window (its own calibration
+    # < 0.55), that wall time is untrustworthy in the direction that
+    # hurts the gate most on the 8-core leg (bandwidth contention). Grant
+    # up to 2 extra interleaved attempt-pairs while any leg's best sample
+    # is sick — bounded (≤5 attempts/leg), every attempt + calibration
+    # logged in `attempts`; the trigger is the fixed numpy kernel, never
+    # the pipeline's own numbers, so an honest-but-slow dataflow cannot
+    # earn retries.
+    for _extra in range(2):
+        sick = [
+            cores
+            for cores in (n_big, n_small)
+            if (best(cores)["cal"]["silicon_efficiency"] or 1.0) < 0.55
+        ]
+        if not sick:
+            break
         for cores in (n_big, n_small):
-            if counters[cores] < 4:
+            if cores in sick and counters[cores] < 5:
                 run_leg(cores)
     for cores in (n_big, n_small):
-        results[cores] = min(attempts[cores], key=lambda a: a["wall_sec"])
+        results[cores] = best(cores)
     shutil.rmtree(tmp, ignore_errors=True)
 
     cal_after = calibrate_host(n_small, n_big)
@@ -291,17 +318,24 @@ def run_scaling() -> dict:
     efficiency = speedup / 4
     return {
         "host_calibration_before": cal_before,
-        "host_calibration_mid": cal_mid,
         "host_calibration_after": cal_after,
         "docs": BENCH_DOCS,
         "cores_small": n_small,
         "cores_big": n_big,
         "pinned": shutil.which("taskset") is not None,
+        "flat_heap_gb": os.environ.get("SPARK_GRAFT_FLAT_HEAP_GB"),
         # full per-leg attempt list (interleaved run order big,small,big,
-        # small + any tie-breaks) so the min-of-attempts provenance of the
+        # small + tie-breaks + sick-window retries), each with its own
+        # silicon calibration, so the min-of-attempts provenance of the
         # gate number is machine-checkable from the JSON alone
         "attempts": {
-            str(cores): [round(a["wall_sec"], 2) for a in attempts[cores]]
+            str(cores): [
+                {
+                    "wall_sec": round(a["wall_sec"], 2),
+                    "silicon_eff_at_attempt": a["cal"]["silicon_efficiency"],
+                }
+                for a in attempts[cores]
+            ]
             for cores in (n_small, n_big)
         },
         "small_docs_per_sec": round(results[n_small]["docs_per_sec"], 1),
@@ -338,10 +372,17 @@ def write_bench_md(timings: dict[str, float], scaling: dict | None) -> None:
             "light mode at both core counts; see bench.py) over "
             f"{scaling['docs']:,}",
             f"deterministic synthetic pages. Each run is a fresh JVM {pin} to exactly",
-            "its core budget, with heap scaled per executor (12 GB/core — the north",
-            "rule compares N vs 4N EXECUTORS, and 4N executors own 4x the aggregate",
-            "memory; a flat heap would starve the big leg's concurrent tasks and",
-            "measure starvation, not the dataflow). This is the core-bounded-executor",
+            "its core budget, with "
+            + (
+                f"a FLAT {scaling['flat_heap_gb']} GB heap on both legs (control run"
+                " isolating the heap profile's contribution)"
+                if scaling.get("flat_heap_gb")
+                else "heap scaled per executor (12 GB/core — the north"
+                " rule compares N vs 4N EXECUTORS, and 4N executors own 4x the"
+                " aggregate memory; a flat heap would starve the big leg's"
+                " concurrent tasks and measure starvation, not the dataflow)"
+            )
+            + ". This is the core-bounded-executor",
             "emulation of an N vs 4N cluster (a pandas-UDF workload uses N JVM",
             "threads + N python workers, so an unpinned small leg would silently",
             "borrow up to 2N cores and cap the",
@@ -352,8 +393,17 @@ def write_bench_md(timings: dict[str, float], scaling: dict | None) -> None:
             "",
             "Leg attempts are INTERLEAVED (big, small, big, small — one slow-state",
             "window can then hit at most one attempt per leg) with an adaptive",
-            "tie-break attempt when a leg's two samples disagree by >1.3×.",
-            "",
+            "tie-break attempt when a leg's two samples disagree by >1.3×, and up",
+            "to 2 bounded extra attempt-pairs while a leg's best sample carries a",
+            "degraded per-attempt silicon calibration (< 0.55 — the fixed numpy",
+            "kernel, independent of the pipeline; all attempts + their",
+            "calibrations are in the bench JSON `attempts` provenance).",
+            ""
+            + (
+                f" HEAP CONTROL RUN: flat {scaling['flat_heap_gb']} GB on BOTH legs."
+                if scaling.get("flat_heap_gb")
+                else ""
+            ),
             "| parallelism | wall sec (best of attempts) | docs/sec |",
             "| --- | --- | --- |",
             f"| local[{ns}] pinned to {ns} CPUs | {scaling['small_wall_sec']} | {scaling['small_docs_per_sec']} |",

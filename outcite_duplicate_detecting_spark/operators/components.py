@@ -91,16 +91,52 @@ def _small_star(e: DataFrame) -> DataFrame:
     return linked.where(F.col("src") != F.col("dst")).distinct()
 
 
-def _digest(e: DataFrame) -> tuple[int, int, int]:
-    # order-insensitive set digest: count + two modular hash sums
-    # (moduli keep the ANSI-mode sum far from long overflow at any scale)
+def _digest(e: DataFrame) -> tuple[int, int, int, int]:
+    """(edge count, hash sum 1, hash sum 2, non_star) in ONE job.
+
+    The first three are the order-insensitive set digest (count + two
+    modular hash sums; moduli keep the ANSI-mode sums far from long
+    overflow at any scale). ``non_star`` counts nodes that appear both as
+    a src and as a dst. Both star operators emit edges strictly
+    big→small, so the edge set is a STAR FOREST iff non_star == 0 — and a
+    star forest is a fixpoint of both operators (each member's only
+    neighbor is its center, which is the component minimum, so large-star
+    and small-star re-emit the same edges). non_star == 0 therefore ends
+    the loop one full round earlier than waiting for two equal digests
+    (the digest comparison stays as the conservative fallback)."""
     h = F.xxhash64("src", "dst")
-    row = e.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.pmod(h, F.lit(1_000_003))), F.lit(0)).alias("h1"),
-        F.coalesce(F.sum(F.pmod(h, F.lit(999_983))), F.lit(0)).alias("h2"),
+    zero = F.lit(0).cast("long")
+    u = e.select(
+        F.col("src").alias("x"),
+        F.lit(1).alias("es"),
+        F.pmod(h, F.lit(1_000_003)).alias("p1"),
+        F.pmod(h, F.lit(999_983)).alias("p2"),
+    ).unionByName(
+        e.select(
+            F.col("dst").alias("x"), F.lit(0).alias("es"),
+            zero.alias("p1"), zero.alias("p2"),
+        )
+    )
+    per_node = u.groupBy("x").agg(
+        F.sum("es").alias("n_src"),
+        F.count("*").alias("n_all"),
+        F.sum("p1").alias("s1"),
+        F.sum("p2").alias("s2"),
+    )
+    row = per_node.agg(
+        F.coalesce(F.sum("n_src"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("s1"), F.lit(0)).alias("h1"),
+        F.coalesce(F.sum("s2"), F.lit(0)).alias("h2"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n_src") > 0) & (F.col("n_all") > F.col("n_src")), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("non_star"),
     ).collect()[0]
-    return int(row["n"]), int(row["h1"]), int(row["h2"])
+    return int(row["n"]), int(row["h1"]), int(row["h2"]), int(row["non_star"])
 
 
 def connected_components(
@@ -129,17 +165,25 @@ def connected_components(
     for _round in range(max_iter):
         t0 = time.time()
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cur = _digest(e2)
+        n, h1, h2, non_star = _digest(e2)
         if timing:
             print(
                 f"STAGE_TIMING cc_round_{_round} {time.time() - t0:.2f}s"
-                f" edges={cur[0]}",
+                f" edges={n} non_star={non_star}",
                 flush=True,
             )
         e = e2
-        if cur == prev:
+        if non_star == 0 or (n, h1, h2) == prev:
             break
-        prev = cur
+        prev = (n, h1, h2)
+        # late rounds are shuffle-LATENCY-bound, not data-bound: once the
+        # edge set is tiny, re-reading its checkpoint blocks with the full
+        # partition fan-out just serializes task-launch overhead across
+        # every stage of the next round. Narrow-coalesce the materialized
+        # checkpoint (no shuffle); the round's own shuffles stay governed
+        # by AQE, which coalesces them by size.
+        if n < 1_000_000 and e.rdd.getNumPartitions() > 8:
+            e = e.coalesce(8)
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

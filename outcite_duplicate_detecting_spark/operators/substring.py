@@ -9,15 +9,30 @@ distributed design here replaces a global suffix array with **winnowing**
 1. per doc, rolling k-gram hashes over the UTF-8 bytes, windowed minima
    (window w, rightmost tie-break) → a sparse fingerprint set, ~2/(w+1)
    density — computed in one Arrow-batched pandas UDF, no shuffle;
-2. candidates = distinct doc pairs sharing ≥1 fingerprint (inverted-index
-   self-join, cap-able/salt-able like every band join here);
-3. verification = actual substring containment check on the candidate
-   pair's texts (C-level ``in``, Arrow-batched).
+2. candidates via the MIN-FINGERPRINT containment join: the query side
+   posts ONE row per doc (its global-minimum fingerprint) against the
+   index side's full winnow set. This is asymmetric on purpose —
+   containment is an asymmetric relation — and it collapses the join's
+   left side by the winnow density factor (~(w+1)/2 ≈ 190 postings/doc →
+   1) versus the naive share-any-fingerprint self-join, which at 400k
+   synthetic pages meant 75M × 75M postings and was the single largest
+   non-scaling cost in the whole pipeline;
+3. verification = substring containment on the candidate pair's texts via
+   ``contains`` INSIDE whole-stage codegen (no Python, no Arrow text
+   transfer).
 
-Exactness: the winnowing guarantee says any shared byte run of length
-≥ t = w + k − 1 produces a shared selected fingerprint. With
-min_len chars ≥ t (and UTF-8 bytes ≥ chars), every true containment pair
-is a candidate, and verification makes the output exactly
+Exactness of step 2 (both directions of the winnowing argument):
+- A's global-min fingerprint m is the min of every winnow window of A that
+  contains it, and A has ≥ 1 full window when its gram count
+  len_bytes(A) − k + 1 ≥ w, i.e. len(A) ≥ w + k − 1 = t ≤ min_len —
+  so m is in A's selected set;
+- if A ⊆ B, the copied span inside B contains ≥ w consecutive grams, so
+  some window of B lies WHOLLY inside the span; every gram of that window
+  is an A-gram, so that window's minimum VALUE is m, and winnowing selects
+  a position achieving it — so the value m is in B's selected set too
+  (ties select a different position but the same joined value).
+Hence every true containment pair shares the inner's min fingerprint, and
+verification makes the output exactly
 {(inner, outer) : inner.text ⊆ outer.text, len(inner) ≥ min_len, inner ≠ outer}.
 
 Suffix-array note: a per-partition suffix array (mapInArrow over
@@ -46,9 +61,13 @@ class SubstringConfig:
     w: int = 26  # winnow window ⇒ guarantee threshold t = w + k - 1 = 50
     # cap on docs sharing a fingerprint — same default as the reference's
     # 25000-doc group guard (code/common.py:96) and the other detectors;
-    # a ubiquitous boilerplate fingerprint must never go quadratic silently
+    # a ubiquitous boilerplate fingerprint must never blow up silently.
+    # (With the min-fp query side the join is linear per bucket — index
+    # rows × the handful of min-fp queries landing there — so the cap is a
+    # boilerplate guard, not a quadratic guard, and salting is moot.)
     max_fingerprint_df: int | None = 25000
-    salt: int | None = None
+    salt: int | None = None  # retained for config compat; unused since the
+    # asymmetric min-fp join replaced the all-pairs self-join
 
     @property
     def guarantee_t(self) -> int:
@@ -87,8 +106,8 @@ def substring_pairs(
     cfg = cfg or SubstringConfig()
     assert cfg.min_len >= cfg.guarantee_t, "winnowing guarantee requires min_len >= w+k-1"
     # eager materialization: texts feed fingerprinting AND both verify sides.
-    # NULL text → '' so verification's `x in y` never sees None (the
-    # fingerprint UDF already maps None → '').
+    # NULL text → '' so verification's containment check never sees None
+    # (the fingerprint UDF already maps None → '').
     base = (
         df.select(
             F.col(id_col).alias("id"),
@@ -96,19 +115,30 @@ def substring_pairs(
         )
         .localCheckpoint(eager=True)
     )
-    # eager checkpoint: the band join consumes the postings up to 4× (bucket
-    # sizes, the cap anti-join, both self-join sides). Uncheckpointed, each
-    # consumer re-runs the winnowing UDF over the corpus — measured as the
-    # single hottest plan in the pipeline (fingerprint subtree ~8× in one
-    # stage write). Postings are (id, long) — tiny relative to the texts.
-    fps = (
+    # eager checkpoint of the (id, n_chars, fingerprints) arrays: the join
+    # consumes them three ways (bucket sizes, the index side, the min-fp
+    # query side). Uncheckpointed, each consumer re-runs the winnowing UDF
+    # over the corpus — measured as the single hottest plan in the
+    # pipeline (fingerprint subtree ~8× in one stage write). The arrays
+    # are longs — tiny relative to the texts.
+    fparr = (
         add_fingerprints(base, cfg)
-        .select("id", F.explode("fingerprints").alias("fp"))
+        .select("id", F.length("text").alias("n_chars"), "fingerprints")
         .localCheckpoint(eager=True)
+    )
+    fps = fparr.select("id", F.explode("fingerprints").alias("fp"))
+    # query side: one posting per doc — its global-min fingerprint (see
+    # module docstring for the exactness argument). Docs shorter than
+    # min_len can never be an inner, so they are pruned here, before the
+    # join, not just at verification.
+    minfp = (
+        fparr.where(F.col("n_chars") >= cfg.min_len)
+        .select("id", F.array_min("fingerprints").alias("fp"))
+        .where(F.col("fp").isNotNull())
     )
     cands = band_candidate_pairs(
         fps, key_cols=["fp"], id_col="id",
-        max_bucket_size=cfg.max_fingerprint_df, salt=cfg.salt,
+        max_bucket_size=cfg.max_fingerprint_df, probe_left=minfp,
     )
     return containment_verify(cands.pairs, base, cfg.min_len), cands.drops
 
@@ -120,12 +150,15 @@ def containment_verify(
 
     ``pairs``: (id1, id2); ``base``: (id, text) with non-null text. Output
     (inner_id, outer_id) distinct, inner.text ⊆ outer.text and
-    length(inner) ≥ min_len. Single pass: the contain UDF runs once per
-    candidate and both directions are emitted from one evaluation (a
-    where/union pair would re-run the candidate join and the UDF per
-    branch). The text table is pruned to candidate participants first —
-    candidates are sparse, the id list broadcasts, and non-candidate texts
-    stay out of both verify-join shuffles (the verify_jaccard pattern)."""
+    length(inner) ≥ min_len. The containment check is ``contains`` INSIDE
+    whole-stage codegen — a JVM substring search per direction, evaluated
+    once per candidate row, with no Python workers and no Arrow transfer
+    of the (fat) text columns; the r5 profile showed the former pandas-UDF
+    verify as the pipeline's fattest stage (458 task-seconds at 400k docs,
+    dominated by shipping both full texts per pair out to Python). The
+    text table is pruned to candidate participants first — candidates are
+    sparse, the id list broadcasts, and non-candidate texts stay out of
+    both verify-join shuffles (the verify_jaccard pattern)."""
     cand_ids = (
         pairs.select(F.col("id1").alias("id"))
         .unionByName(pairs.select(F.col("id2").alias("id")))
@@ -136,28 +169,18 @@ def containment_verify(
     t2 = base.select(F.col("id").alias("id2"), F.col("text").alias("t2"))
     paired = pairs.join(t1, "id1").join(t2, "id2")
 
-    @F.pandas_udf(T.IntegerType())
-    def contain(a: pd.Series, b: pd.Series) -> pd.Series:
-        # 0: none, 1: a in b, 2: b in a, 3: equal/both
-        out = [
-            (1 if (x in y) else 0) | (2 if (y in x) else 0)
-            for x, y in zip(a, b)
-        ]
-        return pd.Series(out, dtype="int32")
-
-    flagged = paired.withColumn("c", contain(F.col("t1"), F.col("t2")))
-    directed = flagged.select(
+    directed = paired.select(
         F.explode(
             F.array(
                 F.when(
-                    (F.col("c").bitwiseAND(F.lit(1)) > 0)
+                    F.contains(F.col("t2"), F.col("t1"))
                     & (F.length("t1") >= min_len),
                     F.struct(
                         F.col("id1").alias("inner_id"), F.col("id2").alias("outer_id")
                     ),
                 ),
                 F.when(
-                    (F.col("c").bitwiseAND(F.lit(2)) > 0)
+                    F.contains(F.col("t1"), F.col("t2"))
                     & (F.length("t2") >= min_len),
                     F.struct(
                         F.col("id2").alias("inner_id"), F.col("id1").alias("outer_id")

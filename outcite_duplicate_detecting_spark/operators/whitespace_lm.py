@@ -104,6 +104,7 @@ def p_separate(
     nchar: int = 3,
     w1_col: str = "w1",
     w2_col: str = "w2",
+    exact: bool = True,
 ) -> DataFrame:
     """Score candidate word pairs with the trained model — the reference's
     ``prob_sep`` (M_train_whitespace_LM.py:70-75) in integer ppm:
@@ -119,7 +120,19 @@ def p_separate(
     computed in decimal(38,0) — fh·fw·SUM1·10^6 overflows int64 at even
     modest corpora — and the floor division is exact, so the ppm value
     reproduces bit-for-bit in a HUGEINT-based SQL oracle. Model lookups
-    are broadcast joins (the model is tiny relative to any corpus)."""
+    are broadcast joins (the model is tiny relative to any corpus).
+
+    Exactness has a capacity bound: the widest intermediate is
+    max(sep)·10^6 = max_fh·max_fw·SUM1·10^6, and decimal(38,0) holds
+    < 10^38 — roughly SUM1·SUM2² ≲ 10^32, comfortable for corpora up to
+    ~10^9-10^10 documents but NOT for the 10^12 design point (sums ~10^13,
+    context freqs ~10^11 → ~10^41). Overflow in non-ANSI mode would yield
+    NULL ppm and a silent 'unknown', so the bound is CHECKED on the
+    trained model's own maxima and violated ⇒ loud ValueError. For
+    beyond-bound corpora pass ``exact=False``: the ratio is computed in
+    double precision (sep and tog each ≲ 10^41 ≪ double's 10^308 range;
+    the ppm floor may differ from the exact value only when p sits within
+    ~2^-52 of a 1e-6 boundary) — decisions keep identical thresholds."""
     h = _suffix(F.lower(F.col(w1_col)), nchar)
     w = F.lower(F.col(w2_col)).substr(1, nchar)
     keyed = pairs.withColumn("_h", h).withColumn("_w", w)
@@ -143,17 +156,44 @@ def p_separate(
         .fillna(0, subset=["_fh", "_fw", "_fhw"])
     )
     # p = sep/(sep+tog) with sep = fh·fw·SUM1, tog = fhw·SUM2² (the common
-    # positive denominator SUM2²·SUM1 cancels); exact decimal arithmetic
-    dec = "decimal(38,0)"
-    sep = (
-        F.col("_fh").cast(dec) * F.col("_fw").cast(dec) * F.lit(sum1).cast(dec)
-    )
-    tog = F.col("_fhw").cast(dec) * F.lit(sum2).cast(dec) * F.lit(sum2).cast(dec)
-    num = sep * F.lit(1_000_000).cast(dec)
-    den = sep + tog
-    ppm = F.when(sep > 0, ((num - num % den) / den).cast("long")).otherwise(
-        F.lit(0).cast("long")
-    )
+    # positive denominator SUM2²·SUM1 cancels)
+    if exact:
+        # capacity guard (see docstring): the widest decimal(38,0)
+        # intermediates are max_sep·10^6 and max_sep + max_tog; check them
+        # against the trained model's own maxima so overflow fails loudly
+        # here instead of silently NULLing ppm downstream
+        def _mx(df: DataFrame, col: str) -> int:
+            row = df.agg(F.max(col).alias("m")).collect()[0]
+            return int(row["m"] or 0)
+
+        max_sep = _mx(h_freq, "_fh") * _mx(w_freq, "_fw") * sum1
+        max_tog = _mx(hw_freq, "_fhw") * sum2 * sum2
+        if max(max_sep * 1_000_000, max_sep + max_tog) >= 10**38:
+            raise ValueError(
+                "p_separate(exact=True) would overflow decimal(38,0): "
+                f"max_sep={max_sep:.3e}, max_tog={max_tog:.3e} (bound 1e38). "
+                "Pass exact=False (double-precision scoring, identical "
+                "decision thresholds) or raise min_freq when training."
+            )
+        dec = "decimal(38,0)"
+        sep = (
+            F.col("_fh").cast(dec) * F.col("_fw").cast(dec) * F.lit(sum1).cast(dec)
+        )
+        tog = F.col("_fhw").cast(dec) * F.lit(sum2).cast(dec) * F.lit(sum2).cast(dec)
+        num = sep * F.lit(1_000_000).cast(dec)
+        den = sep + tog
+        ppm = F.when(sep > 0, ((num - num % den) / den).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    else:
+        dbl = "double"
+        sep = (
+            F.col("_fh").cast(dbl) * F.col("_fw").cast(dbl) * F.lit(float(sum1))
+        )
+        tog = F.col("_fhw").cast(dbl) * F.lit(float(sum2) * float(sum2))
+        ppm = F.when(
+            sep > 0, F.floor(sep * F.lit(1_000_000.0) / (sep + tog)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return (
         scored.withColumn("p_separate_ppm", ppm)
         .withColumn(

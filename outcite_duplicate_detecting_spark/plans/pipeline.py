@@ -270,12 +270,24 @@ def dedup_pipeline(
             fps = signed.select(
                 F.col("rep_id").alias("id"), F.explode("fingerprints").alias("fp")
             )
+            # asymmetric min-fp containment join (substring.py module
+            # docstring): the query side is ONE posting per doc — its
+            # global-min fingerprint — against the full winnow index.
+            # Collapses the join's left side ~(w+1)/2 ≈ 190× vs the former
+            # share-any-fingerprint self-join (75M × 75M postings at 400k
+            # docs — the pipeline's largest non-scaling cost in the r5
+            # profile) while the winnowing guarantee keeps candidate
+            # recall exact.
+            minfp = signed.select(
+                F.col("rep_id").alias("id"),
+                F.array_min("fingerprints").alias("fp"),
+            ).where(F.col("fp").isNotNull())
             cands = band_candidate_pairs(
                 fps,
                 key_cols=["fp"],
                 id_col="id",
                 max_bucket_size=cfg.substring.max_fingerprint_df,
-                salt=cfg.substring.salt,
+                probe_left=minfp,
             )
             # verify base reads straight off `collapsed` (the checkpoint /
             # materialized block), NOT `reps`: reps' repartition is a full
