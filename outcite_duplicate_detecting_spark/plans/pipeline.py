@@ -108,6 +108,12 @@ class PipelineConfig:
     # the default; set id_bits=128 for 10^11+ deployments where the
     # birthday bound bites.
     id_bits: int = 64
+    # 128-bit id representation: "struct" (struct<h1,h2> — the r4 path,
+    # measured +43% end-to-end: struct keys lose radix-sort/codegen fast
+    # paths) or "binary" (16-byte key via hex/unhex packing — one flat
+    # comparable value, candidate for recovering the sort fast paths;
+    # r5 A/B via tools/probe_modes.py id128 vs id128b legs)
+    id_pack: str = "struct"
 
     def fingerprint(self) -> str:
         return hashlib.sha1(
@@ -118,13 +124,19 @@ class PipelineConfig:
 def _doc_id_expr(cfg: PipelineConfig, id_cols: list[str]):
     """Deterministic doc id from the natural key. 128-bit mode pairs two
     xxhash64 values under different salts (Spark's xxhash64 seed is fixed,
-    so the salt literal supplies the second hash family); struct<h1,h2>
-    ids order/join/group natively everywhere downstream (CC included)."""
+    so the salt literal supplies the second hash family). Representation
+    per cfg.id_pack: struct<h1,h2>, or a 16-byte binary key — big-endian
+    two's-complement halves via hex/unhex (ANSI mode forbids a direct
+    long→binary cast), unsigned-lexicographic comparable, one flat value
+    through every downstream join/sort/group (CC included — ids only ever
+    need equality and a deterministic total order, not numeric meaning)."""
     if cfg.id_bits == 128:
-        return F.struct(
-            F.xxhash64(*id_cols).alias("h1"),
-            F.xxhash64(F.lit("docid-salt-2"), *id_cols).alias("h2"),
-        ).alias("doc_id")
+        h1 = F.xxhash64(*id_cols)
+        h2 = F.xxhash64(F.lit("docid-salt-2"), *id_cols)
+        if cfg.id_pack == "binary":
+            pack = lambda h: F.lpad(F.hex(h), 16, "0")  # noqa: E731
+            return F.unhex(F.concat(pack(h1), pack(h2))).alias("doc_id")
+        return F.struct(h1.alias("h1"), h2.alias("h2")).alias("doc_id")
     return F.xxhash64(*id_cols).alias("doc_id")
 
 

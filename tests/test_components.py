@@ -78,3 +78,20 @@ def test_cc_star_skew(spark):
     got = {r["id"]: r["component"] for r in connected_components(edf).collect()}
     assert all(got[i] == 0 for i in range(1, 300))
     assert got[501] == 500
+
+
+def test_cc_star_forest_exits_in_one_round(spark, monkeypatch, capsys):
+    """The star-forest early exit (components._digest non_star): an input
+    that is already a star forest must converge after a SINGLE round — the
+    old digest-equality-only loop needed a second confirmation round. The
+    stage-timing lines are the observable round count."""
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_TIMING", "1")
+    edges = [(1, 0), (2, 0), (3, 0), (10, 9), (11, 9)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(edf).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 9: 9, 10: 9, 11: 9}
+    rounds = [
+        ln for ln in capsys.readouterr().out.splitlines() if "cc_round_" in ln
+    ]
+    assert len(rounds) == 1, rounds
+    assert "non_star=0" in rounds[0]

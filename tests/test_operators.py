@@ -323,6 +323,66 @@ def test_ann_ivf_matches_numpy_ivf(spark):
     assert as_set(got1) == as_set(brute)
 
 
+def test_ann_ivf_trained_centroids(spark):
+    """The centroids= injection path with a REAL trained coarse quantizer
+    (pyspark.ml KMeans cluster centers): results must re-rank exactly (every
+    returned cos_ppm equals the brute-force value for that pair) and recall
+    vs brute-force top-k must clear the bar a trained quantizer is used
+    for. Skips when pyspark.ml (mllib jar) is unavailable."""
+    pytest.importorskip("pyspark.ml")
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except Exception:  # pragma: no cover - environment dependent
+        pytest.skip("pyspark.ml unavailable")
+    from outcite_duplicate_detecting_spark.operators.similarity import (
+        AnnIvfConfig,
+        ann_ivf_cosine,
+    )
+
+    rng = np.random.RandomState(11)
+    # 4 well-separated gaussian blobs -> KMeans finds real structure
+    centers = rng.standard_normal((4, 8)) * 4
+    vecs = np.concatenate(
+        [centers[i % 4] + 0.3 * rng.standard_normal(8) for i in range(60)]
+    ).reshape(60, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    km = KMeans(k=4, seed=3, featuresCol="_features").fit(
+        df.withColumn("_features", array_to_vector("embedding"))
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    k = 4
+    got = ann_ivf_cosine(
+        df, q, AnnIvfConfig(n_cells=4, n_probe=2, k=k), centroids=cents
+    ).collect()
+    brute = knn_cosine_brute(df, q, k=k).collect()
+    brute_by_q: dict[int, list] = {}
+    brute_cos = {}
+    for r in brute:
+        brute_by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        brute_cos[(r["query_id"], r["neighbor_id"])] = r["cos_ppm"]
+    hits = total = 0
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_cos:  # exact re-rank: identical cosine arithmetic
+            assert r["cos_ppm"] == brute_cos[key], key
+    for qid, want in brute_by_q.items():
+        found = {r["neighbor_id"] for r in got if r["query_id"] == qid}
+        hits += len(found & set(want))
+        total += len(want)
+    # blob data + trained centroids + 2-of-4 probes: near-total recall
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
 def test_stream_dedup_first_seen_state_survives_restart(spark, tmp_path):
     """applyInPandasWithState dedup-on-arrival: dup_rank continues across
     a query RESTART (state recovered from the checkpointed state store),
@@ -426,3 +486,39 @@ def test_whitespace_lm_p_separate_decisions(spark):
     # never-seen context: sep = 0 -> p = 0 -> 'together' (reference rule:
     # prob_sep returns [0, 0.01] and 0 < 0.01)
     assert got[("zz", "yy")]["decision"] == "together"
+
+    # exact=False (double-precision, for beyond-decimal(38,0) corpora) must
+    # agree with the exact path on this small model — identical ppm floors
+    # away from 2^-52-of-a-boundary corner cases, identical decisions
+    approx = {
+        (r["w1"], r["w2"]): r
+        for r in p_separate(pairs, model, nchar=3, exact=False).collect()
+    }
+    for key, r in got.items():
+        assert approx[key]["p_separate_ppm"] == r["p_separate_ppm"], key
+        assert approx[key]["decision"] == r["decision"], key
+
+
+def test_whitespace_lm_overflow_guard(spark):
+    """p_separate(exact=True) must FAIL LOUDLY (not NULL-ppm silently) when
+    the trained model's frequencies would overflow decimal(38,0) — the
+    10^12-doc scale case; exact=False handles the same model fine."""
+    from outcite_duplicate_detecting_spark.operators.whitespace_lm import p_separate
+
+    huge = 10**13
+    model = spark.createDataFrame(
+        [
+            (True, "foo", "bar", huge),   # fh = fw = 1e13
+            (True, "xxx", "yyy", huge),
+            (False, "foo", "bar", huge),  # SUM1 = 3e13
+            (False, "aaa", "bbb", 2 * huge),
+        ],
+        "across boolean, h string, w string, freq long",
+    )
+    pairs = spark.createDataFrame([("foo", "bar")], "w1 string, w2 string")
+    with pytest.raises(ValueError, match="overflow decimal"):
+        p_separate(pairs, model, nchar=3).collect()
+    row = p_separate(pairs, model, nchar=3, exact=False).collect()[0]
+    # sep = 1e13*1e13*3e13 = 3e39, tog = 1e13*(2e13)^2 = 4e39 -> p ~ 0.4286
+    assert row["decision"] == "separate"
+    assert abs(row["p_separate_ppm"] - 428_571) <= 1

@@ -26,10 +26,15 @@ from outcite_duplicate_detecting_spark.session import get_spark
 from outcite_duplicate_detecting_spark.plans.pipeline import PipelineConfig, dedup_pipeline
 
 cores = int(sys.argv[1]); corpus = sys.argv[2]; workdir = sys.argv[3]
-mode = sys.argv[4]  # light | ckpt | ckpt64
+mode = sys.argv[4]  # light | ckpt | ckpt64 | id128 | id128b
 cfg = PipelineConfig(checkpoint_stages=mode != "light")
 if mode == "ckpt64":
     cfg.id_bits = 64
+elif mode == "id128":
+    cfg.id_bits = 128  # struct<h1,h2> representation
+elif mode == "id128b":
+    cfg.id_bits = 128
+    cfg.id_pack = "binary"  # 16-byte flat binary key
 spark = get_spark(cores=cores, app_name=f"probe-{mode}-{cores}",
                   shuffle_partitions=32)
 pages = spark.read.parquet(corpus)
