@@ -28,27 +28,6 @@ import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-
-def _fingerprint_df(df: DataFrame) -> str:
-    """Order-insensitive content digest of a DataFrame (count + 2 hash sums).
-
-    Used to decide checkpoint reuse — cheap relative to a stage recompute.
-    """
-    h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-    row = df.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.pmod(h, F.lit(1_000_003))), F.lit(0)).alias("h1"),
-        F.coalesce(F.sum(F.pmod(h, F.lit(999_983))), F.lit(0)).alias("h2"),
-    ).collect()[0]
-    return f"{row['n']}:{row['h1']}:{row['h2']}"
-
-
-def partition_counters(df: DataFrame) -> DataFrame:
-    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-        F.count("*").alias("rows")
-    )
 
 
 def _file_counters(data_dir: str) -> list[dict]:
