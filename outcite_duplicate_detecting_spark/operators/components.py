@@ -91,17 +91,22 @@ def _small_star(e: DataFrame) -> DataFrame:
     return linked.where(F.col("src") != F.col("dst")).distinct()
 
 
-def _digest(e: DataFrame) -> tuple[int, int, int, int]:
-    """(edge count, hash sum 1, hash sum 2, non_star) in ONE job.
+def _digest(e: DataFrame) -> tuple[int, int, int, int, int]:
+    """(edge count, hash sum 1, hash sum 2, non_star, max_out) in ONE job.
 
     The first three are the order-insensitive set digest (count + two
     modular hash sums; moduli keep the ANSI-mode sums far from long
     overflow at any scale). ``non_star`` counts nodes that appear both as
-    a src and as a dst. Both star operators emit edges strictly
-    big→small, so the edge set is a STAR FOREST iff non_star == 0 — and a
-    star forest is a fixpoint of both operators (each member's only
-    neighbor is its center, which is the component minimum, so large-star
-    and small-star re-emit the same edges). non_star == 0 therefore ends
+    a src and as a dst; ``max_out`` is the maximum src out-degree. Both
+    star operators emit edges strictly big→small, so the edge set is a
+    STAR FOREST iff non_star == 0 AND max_out <= 1 — non_star alone is
+    NOT sufficient: a src linking to two distinct centers has disjoint
+    src/dst sets but is not a star (e.g. the one-round image of the path
+    (1,3),(3,4),(4,5),(2,5) is {(3,1),(4,1),(3,2),(5,2)}: non_star = 0
+    yet node 3 links to centers 1 and 2, which must still merge). A star
+    forest is a fixpoint of both operators (each member's only neighbor
+    is its center, which is the component minimum, so large-star and
+    small-star re-emit the same edges), so the combined condition ends
     the loop one full round earlier than waiting for two equal digests
     (the digest comparison stays as the conservative fallback)."""
     h = F.xxhash64("src", "dst")
@@ -135,8 +140,17 @@ def _digest(e: DataFrame) -> tuple[int, int, int, int]:
             ),
             F.lit(0),
         ).alias("non_star"),
+        F.coalesce(
+            F.max(F.when(F.col("n_src") > 0, F.col("n_src"))), F.lit(0)
+        ).alias("max_out"),
     ).collect()[0]
-    return int(row["n"]), int(row["h1"]), int(row["h2"]), int(row["non_star"])
+    return (
+        int(row["n"]),
+        int(row["h1"]),
+        int(row["h2"]),
+        int(row["non_star"]),
+        int(row["max_out"]),
+    )
 
 
 def connected_components(
@@ -165,15 +179,15 @@ def connected_components(
     for _round in range(max_iter):
         t0 = time.time()
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        n, h1, h2, non_star = _digest(e2)
+        n, h1, h2, non_star, max_out = _digest(e2)
         if timing:
             print(
                 f"STAGE_TIMING cc_round_{_round} {time.time() - t0:.2f}s"
-                f" edges={n} non_star={non_star}",
+                f" edges={n} non_star={non_star} max_out={max_out}",
                 flush=True,
             )
         e = e2
-        if non_star == 0 or (n, h1, h2) == prev:
+        if (non_star == 0 and max_out <= 1) or (n, h1, h2) == prev:
             break
         prev = (n, h1, h2)
         # late rounds are shuffle-LATENCY-bound, not data-bound: once the

@@ -95,3 +95,34 @@ def test_cc_star_forest_exits_in_one_round(spark, monkeypatch, capsys):
     ]
     assert len(rounds) == 1, rounds
     assert "non_star=0" in rounds[0]
+
+
+def test_cc_path_graph_no_premature_star_exit(spark):
+    """Regression (r5 advisory, high): on the path 1-3-4-5-2 the one-round
+    image {(3,1),(4,1),(3,2),(5,2)} has disjoint src/dst sets (non_star=0)
+    but node 3 links to two centers — exiting there splits one true
+    component into {1,3,4} and {2,5}. The exit must also require max src
+    out-degree <= 1."""
+    edges = [(1, 3), (3, 4), (4, 5), (2, 5)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(edf).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_cc_two_center_fuzz_vs_union_find(spark):
+    """Denser fuzz specifically shaped to produce multi-center one-round
+    images (many small chains sharing tails)."""
+    rng = np.random.RandomState(7)
+    edges = []
+    for base in range(0, 120, 6):
+        chain = [base + k for k in range(6)]
+        rng.shuffle(chain)
+        edges += list(zip(chain, chain[1:]))
+        # cross-link every other block to its neighbor's tail
+        if base >= 6 and (base // 6) % 2 == 0:
+            edges.append((base + 5, base - 1))
+    nodes = sorted({x for e in edges for x in e})
+    want = oracle_labels(edges, nodes)
+    edf = spark.createDataFrame([(int(a), int(b)) for a, b in edges], "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(edf).collect()}
+    assert got == want
