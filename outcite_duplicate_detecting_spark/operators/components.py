@@ -62,6 +62,11 @@ def _symmetric(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
+    # NOTE: emits a MULTISET (no trailing distinct). Every consumer
+    # (_small_star) canonicalizes + dedups as its first step on the same
+    # (big, small) orientation this operator already guarantees (m < dst
+    # by construction), so a distinct here was a second exchange over the
+    # identical key — dropped (one fewer shuffle per CC round).
     nbrs = _symmetric(e)
     mins = (
         nbrs.groupBy("src")
@@ -73,7 +78,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread_small_input
 from ..functions.text import word_shingles
 
 
@@ -121,36 +122,58 @@ def jaccard_pairs_with_drops(
     whose overlap rode only on dropped shingles, bounded by the drops
     table). With no bucket over the cap the output is exactly the uncapped
     all-pairs result.
+
+    Dataflow (r6 single-pass redesign): one shuffle builds the inverted
+    index as grouped posting LISTS — ``groupBy(shingle)`` with
+    ``collect_list`` — which yields bucket size, the cap filter, and the
+    pair generator from ONE aggregation instead of the former
+    checkpoint + two bucket-size aggregations + self-join (3 exchanges,
+    4 scans of the exploded table). Pairs are generated inside the bucket
+    row via a two-step explode (posexplode, then a tail-slice explode) so
+    no intermediate array ever exceeds the bucket cap in size — the
+    quadratic pair stream is produced row-at-a-time in codegen exactly
+    like the former join's output, then partially aggregated map-side
+    before the only other exchange (by pair). sort_array orders members
+    by id, so emitted pairs satisfy id1 < id2 by construction.
     """
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
-    sized = sh.select("id", "sh", F.size("sh").alias("sz"))
-    # lazy checkpoint: the exploded shingle table feeds the bucket-size agg,
-    # the cap anti-join, and both self-join sides — without it each consumer
-    # re-shingles the corpus (4× the scan + arrays_zip work)
-    ex = sized.select("id", "sz", F.explode("sh").alias("shingle")).localCheckpoint(
-        eager=False
+    base = spread_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), key="id"
+    )
+    sh = base.select(F.col("id"), word_shingles("text", n).alias("sh"))
+    ex = sh.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
+    )
+    buckets = ex.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("members"),
+        F.count("*").alias("bucket_size"),
     )
     if max_bucket_size is not None:
-        bucket_sizes = ex.groupBy("shingle").agg(F.count("*").alias("bucket_size"))
-        drops = bucket_sizes.where(F.col("bucket_size") > max_bucket_size)
-        # the cap only ever matches a handful of stop-shingles → broadcastable
-        ex = ex.join(F.broadcast(drops.select("shingle")), "shingle", "left_anti")
+        drops = buckets.where(F.col("bucket_size") > max_bucket_size).select(
+            "shingle", "bucket_size"
+        )
+        kept = buckets.where(F.col("bucket_size") <= max_bucket_size)
     else:
         drops = (
             ex.select("shingle").limit(0).withColumn("bucket_size", F.lit(0).cast("long"))
         )
-    a = ex.select(
-        F.col("shingle"), F.col("id").alias("id1"), F.col("sz").alias("sz1")
+        kept = buckets
+    # two-step pair expansion: row memory stays O(bucket), never O(bucket²)
+    lhs = kept.select(
+        F.posexplode("members").alias("i", "m1"), F.col("members")
     )
-    b = ex.select(
-        F.col("shingle"), F.col("id").alias("id2"), F.col("sz").alias("sz2")
+    pairs_raw = lhs.select(
+        F.col("m1.id").alias("id1"),
+        F.col("m1.sz").alias("sz1"),
+        F.explode(
+            F.slice("members", F.col("i") + 2, F.size("members"))
+        ).alias("m2"),
     )
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2", "sz1", "sz2")
-        .agg(F.count("*").alias("inter_size"))
-    )
+    inter = pairs_raw.groupBy(
+        "id1",
+        F.col("m2.id").alias("id2"),
+        "sz1",
+        F.col("m2.sz").alias("sz2"),
+    ).agg(F.count("*").alias("inter_size"))
     pairs = (
         inter.where(
             jaccard_condition(F.col("inter_size"), F.col("sz1"), F.col("sz2"), threshold)

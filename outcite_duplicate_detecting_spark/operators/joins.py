@@ -54,50 +54,79 @@ def band_candidate_pairs(
     """
     assert probe_left is None or not (salt and salt > 1), "probe+salt unsupported"
     keyed = postings.select(id_col, *key_cols)
-    left_keyed = probe_left.select(id_col, *key_cols) if probe_left is not None else keyed
 
-    if max_bucket_size is not None:
-        sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
-        # the cap only ever matches a handful of hot buckets → broadcastable
-        drops = sizes.filter(F.col("bucket_size") > max_bucket_size)
-        keyed = keyed.join(
-            F.broadcast(drops.select(*key_cols)), on=key_cols, how="left_anti"
-        )
-        if probe_left is not None:
-            left_keyed = left_keyed.join(
+    if salt and salt > 1:
+        # the triangle-cell decomposition needs raw postings rows, so the
+        # salted path keeps the anti-join cap form
+        if max_bucket_size is not None:
+            sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
+            drops = sizes.filter(F.col("bucket_size") > max_bucket_size)
+            keyed = keyed.join(
                 F.broadcast(drops.select(*key_cols)), on=key_cols, how="left_anti"
             )
         else:
-            left_keyed = keyed
-    else:
-        drops = (
-            keyed.select(*key_cols).limit(0).withColumn("bucket_size", F.lit(0).cast("long"))
-        )
-
-    if salt and salt > 1:
+            drops = (
+                keyed.select(*key_cols)
+                .limit(0)
+                .withColumn("bucket_size", F.lit(0).cast("long"))
+            )
         # salted pairs are unique but ordered by cell, not id — normalize
         pairs = salted_all_pairs(keyed, key_cols, id_col, salt).select(
             F.least("id1", "id2").alias("id1"),
             F.greatest("id1", "id2").alias("id2"),
         )
+        return PairGenResult(pairs.select("id1", "id2").distinct(), drops)
+
+    # single-pass grouped form (r6): ONE shuffle builds the inverted index
+    # as grouped posting lists — bucket size, the cap filter, and pair
+    # generation all come from the same aggregation, replacing the former
+    # bucket-size aggregation + broadcast anti-join + key self-join
+    # (which shuffled the postings twice and scanned them four ways).
+    grouped = keyed.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(id_col)).alias("members"),
+        F.count("*").alias("bucket_size"),
+    )
+    if max_bucket_size is not None:
+        drops = grouped.where(F.col("bucket_size") > max_bucket_size).select(
+            *key_cols, "bucket_size"
+        )
+        kept = grouped.where(F.col("bucket_size") <= max_bucket_size)
     else:
-        a = left_keyed.select(*key_cols, F.col(id_col).alias("id1"))
-        b = keyed.select(*key_cols, F.col(id_col).alias("id2"))
-        pairs = a.join(b, on=key_cols).where(F.col("id1") < F.col("id2"))
-        if probe_left is not None:
-            # asymmetric expansion finds each ≤1-bit band pair in one
-            # direction only when id order misaligns — normalize by also
-            # probing the reverse orientation via the same join output:
-            # (a_exp ⋈ b) ∪ swap is equivalent to expanding both sides,
-            # and the cheap form is keeping BOTH orders then normalizing
-            pairs = (
-                a.join(b, on=key_cols)
-                .where(F.col("id1") != F.col("id2"))
-                .select(
-                    F.least("id1", "id2").alias("id1"),
-                    F.greatest("id1", "id2").alias("id2"),
-                )
+        drops = (
+            keyed.select(*key_cols)
+            .limit(0)
+            .withColumn("bucket_size", F.lit(0).cast("long"))
+        )
+        kept = grouped
+
+    if probe_left is not None:
+        # asymmetric probe join: probe rows hit the grouped index bucket
+        # and fan out over its members. A dropped key is absent from
+        # `kept`, so the inner join excludes it from both sides — the cap
+        # is still measured on the ORIGINAL postings only. A ≤1-bit
+        # flipped band matches in BOTH probe directions (XOR symmetric),
+        # so least/greatest normalization keeps exactly one orientation.
+        probe = probe_left.select(F.col(id_col).alias("_pid"), *key_cols)
+        pairs = (
+            probe.join(kept.select(*key_cols, "members"), on=key_cols)
+            .select("_pid", F.explode("members").alias("_mid"))
+            .where(F.col("_pid") != F.col("_mid"))
+            .select(
+                F.least("_pid", "_mid").alias("id1"),
+                F.greatest("_pid", "_mid").alias("id2"),
             )
+        )
+    else:
+        # two-step pair expansion (posexplode + tail-slice explode): row
+        # memory stays O(bucket), never O(bucket²); sort_array orders
+        # members so emitted pairs satisfy id1 < id2 by construction
+        lhs = kept.select(F.posexplode("members").alias("i", "id1"), F.col("members"))
+        pairs = lhs.select(
+            "id1",
+            F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias(
+                "id2"
+            ),
+        ).where(F.col("id1") < F.col("id2"))
     # plain distinct: map-side partial dedup collapses the (band-count ×)
     # duplicate factor before the shuffle. Reducer parallelism for these
     # byte-small/CPU-heavy shuffles is protected by the session's

@@ -9,8 +9,8 @@ BASELINE.json north_rule. Dataflow, scale-first:
 3. one Arrow-batched pandas UDF turns each doc's shingle-hash array into a
    ``num_perm``-long MinHash signature — a single numpy broadcast per doc,
    **zero shuffle** up to this point,
-4. band keys derived JVM-side from the signature array, exploded to a
-   postings table (id, band_idx, band_key),
+4. band keys derived JVM-side from the signature array (xxhash64 over
+   (band index, band slice)), exploded to a postings table (id, band_key),
 5. candidate pairs via the (salt-able, cap-able) band self-join
    (operators/joins.py),
 6. verification joins the candidates back to the shingle arrays and keeps
@@ -42,6 +42,7 @@ from ..functions.hashing import (
     minhash_signature_batch,
     to_i64,
 )
+from ..functions.partitioning import spread_small_input
 from ..functions.text import py_words, word_shingles
 from .joins import PairGenResult, band_candidate_pairs
 
@@ -128,21 +129,22 @@ def add_signature(
 def band_postings(
     df: DataFrame, cfg: MinHashConfig, id_col: str = "id", sig_col: str = "minhash_sig"
 ) -> DataFrame:
-    """Explode signatures to (id, band_idx, band_key). band_key hashes the
-    band's r signature values together JVM-side."""
+    """Explode signatures to (id, band_key). band_key = xxhash64 of the
+    band INDEX plus the band's r signature values — hashed directly as
+    (int, array<long>) in the JVM, replacing the former
+    concat_ws-over-strings detour (per-posting string building was pure
+    map-side CPU) and folding band_idx into the key so the band join is a
+    single-long equi-join. Key values changed vs r5 but grouping semantics
+    are identical (equal (band, slice) ⇒ equal key; cross-band collisions
+    only add candidates, which exact verification removes)."""
     r = cfg.rows_per_band
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
-        lambda bi: F.struct(
-            bi.cast("int").alias("band_idx"),
-            F.xxhash64(
-                F.concat_ws("_", F.transform(F.slice(sig_col, bi * r + 1, r), lambda v: v.cast("string")))
-            ).alias("band_key"),
-        ),
+        lambda bi: F.xxhash64(bi.cast("int"), F.slice(sig_col, bi * r + 1, r)),
     )
     return df.select(
-        F.col(id_col).alias("id"), F.explode(bands).alias("b")
-    ).select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+        F.col(id_col).alias("id"), F.explode(bands).alias("band_key")
+    )
 
 
 def minhash_candidate_pairs(
@@ -151,7 +153,7 @@ def minhash_candidate_pairs(
     postings = band_postings(df, cfg, id_col=id_col, sig_col=sig_col)
     return band_candidate_pairs(
         postings,
-        key_cols=["band_idx", "band_key"],
+        key_cols=["band_key"],
         id_col="id",
         max_bucket_size=cfg.max_bucket_size,
         salt=cfg.salt,
@@ -202,7 +204,11 @@ def minhash_lsh_pairs(
     Jaccard ≥ threshold among LSH candidates.
     """
     cfg = cfg or MinHashConfig()
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # spread: the signature UDF's parallelism is capped by the scan's
+    # partition count (a one-file table signs on ONE core); no-op at scale
+    base = spread_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), key="id"
+    )
     # eager materialization: the signature branch feeds the band join AND
     # both sides of the verify join; a lazy persist still recomputes the
     # UDF chain 3× when all consumers race inside one downstream action.

@@ -41,6 +41,7 @@ from ..functions.hashing import (
     hash_shingles_from_word_hashes,
     simhash64,
 )
+from ..functions.partitioning import spread_small_input
 from ..functions.text import char_ngrams, py_word_shingles, py_words, word_shingles
 from .joins import PairGenResult, band_candidate_pairs
 
@@ -239,7 +240,11 @@ def simhash_pairs(
     (``simhash_verified_pairs``): no candidate materialization.
     """
     cfg = cfg or SimHashConfig()
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # spread: the signing UDF's parallelism is capped by the scan's
+    # partition count (one-file tables sign on ONE core); no-op at scale
+    base = spread_small_input(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), key="id"
+    )
     # eager materialization: feeds both sides of the band self-join
     signed = (
         add_simhash(base, cfg, text_col="text")

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import to_i64, winnow
+from ..functions.partitioning import spread_small_input
 from .joins import band_candidate_pairs
 
 
@@ -105,24 +106,27 @@ def substring_pairs(
     """
     cfg = cfg or SubstringConfig()
     assert cfg.min_len >= cfg.guarantee_t, "winnowing guarantee requires min_len >= w+k-1"
-    # eager materialization: texts feed fingerprinting AND both verify sides.
     # NULL text → '' so verification's containment check never sees None
-    # (the fingerprint UDF already maps None → '').
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.coalesce(F.col(text_col), F.lit("")).alias("text"),
-        )
-        .localCheckpoint(eager=True)
+    # (the fingerprint UDF already maps None → ''). base is NOT
+    # checkpointed (r6): it is a plain column projection of the source —
+    # re-scanning it for the two verify sides is cheaper than an extra
+    # eager-checkpoint job + its plan conversion, and containment_verify
+    # semi-join-prunes to candidate ids before touching text anyway.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
     )
     # eager checkpoint of the (id, n_chars, fingerprints) arrays: the join
     # consumes them three ways (bucket sizes, the index side, the min-fp
     # query side). Uncheckpointed, each consumer re-runs the winnowing UDF
     # over the corpus — measured as the single hottest plan in the
     # pipeline (fingerprint subtree ~8× in one stage write). The arrays
-    # are longs — tiny relative to the texts.
+    # are longs — tiny relative to the texts. The winnow UDF's parallelism
+    # is capped by the scan's partition count (a one-file table
+    # fingerprints on ONE core), so the input is spread first — no-op at
+    # real scale.
     fparr = (
-        add_fingerprints(base, cfg)
+        add_fingerprints(spread_small_input(base, key="id"), cfg)
         .select("id", F.length("text").alias("n_chars"), "fingerprints")
         .localCheckpoint(eager=True)
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread_small_input
 from ..functions.text import words
 
 STOPWORDS_EN = (
@@ -69,6 +70,9 @@ LANG_TRIGRAM_ORDER = ["de", "es", "fr", "it", "ru", "default"]
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    # the tokenization HOFs are per-row CPU-heavy; spread a narrow scan
+    # so they use every core (no-op at real scale)
+    df = spread_small_input(df)
     w = words(text_col)
     alpha_tokens = F.size(
         F.filter(w, lambda t: t.rlike("^[a-zà-ÿ]+$"))
@@ -86,6 +90,7 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality features + composite score, all in exact integer arithmetic
     (ratios as parts-per-million via integer division) so the DuckDB oracle
     hash-matches without float-ULP drift; score counts satisfied rules 0-4."""
+    df = spread_small_input(df)
     t = F.col(text_col)
     w = words(text_col)
     n_chars = F.length(t).cast("long")
@@ -137,6 +142,8 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     (B2_process_features.py:125-132; en folds into 'default' there too).
     Integer scoring end to end — whole-stage codegen, no UDF, and the
     DuckDB oracle reproduces it exactly."""
+
+    df = spread_small_input(df)
 
     def gram_pred(grams: list[str]):
         # NB: the HOF lambda must take exactly one parameter — a second one

@@ -246,9 +246,19 @@ def dedup_pipeline(
         from ..operators.joins import band_candidate_pairs
 
         def _sign() -> DataFrame:
+            # n_chars rides along (bytes-cheap) so the substring stage can
+            # prune its min-fp probe side to docs long enough to be an
+            # inner (r5 advisory: the probe previously posted every doc)
             return add_all_signatures(
                 reps.select("rep_id", "text"), cfg.minhash, cfg.simhash, cfg.substring
-            ).select("rep_id", "shingle_hashes", "minhash_sig", "simhash", "fingerprints")
+            ).select(
+                "rep_id",
+                F.length("text").alias("n_chars"),
+                "shingle_hashes",
+                "minhash_sig",
+                "simhash",
+                "fingerprints",
+            )
 
         signed, _ = stage("sign", _sign)
         if not cfg.checkpoint_stages:
@@ -290,10 +300,14 @@ def dedup_pipeline(
             # docs — the pipeline's largest non-scaling cost in the r5
             # profile) while the winnowing guarantee keeps candidate
             # recall exact.
-            minfp = signed.select(
-                F.col("rep_id").alias("id"),
-                F.array_min("fingerprints").alias("fp"),
-            ).where(F.col("fp").isNotNull())
+            minfp = (
+                signed.where(F.col("n_chars") >= cfg.substring.min_len)
+                .select(
+                    F.col("rep_id").alias("id"),
+                    F.array_min("fingerprints").alias("fp"),
+                )
+                .where(F.col("fp").isNotNull())
+            )
             cands = band_candidate_pairs(
                 fps,
                 key_cols=["fp"],
