@@ -62,19 +62,22 @@ def _symmetric(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    # NOTE: emits a MULTISET (no trailing distinct). Every consumer
+    # m(u) = min(N(u) ∪ {u}) via a window min over the symmetric neighbor
+    # list — ONE exchange (partition by src) where the former
+    # groupBy+join-back needed two passes over the edge set per star
+    # (the join re-exchanged the neighbor table even though the
+    # aggregate's partitioning was reusable).
+    # NOTE: emits a MULTISET (no trailing distinct). The consumer
     # (_small_star) canonicalizes + dedups as its first step on the same
     # (big, small) orientation this operator already guarantees (m < dst
     # by construction), so a distinct here was a second exchange over the
     # identical key — dropped (one fewer shuffle per CC round).
-    nbrs = _symmetric(e)
-    mins = (
-        nbrs.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select("src", F.least("mn", "src").alias("m"))
-    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src")
     return (
-        nbrs.join(mins, "src")
+        _symmetric(e)
+        .withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -82,15 +85,28 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    # orient big -> small; every small neighbor (and the center) links to min
+    # orient big -> small; every small neighbor (and the center) links to
+    # min. The center link rides the same window output (explode of the
+    # two directed edges), so the whole operator is distinct → window →
+    # explode → distinct instead of distinct → groupBy → join → union →
+    # distinct.
+    from pyspark.sql import Window
+
     ed = e.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).distinct()
-    mins = ed.groupBy("src").agg(F.min("dst").alias("m"))
+    w = Window.partitionBy("src")
     linked = (
-        ed.join(mins, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .unionByName(mins.select(F.col("src"), F.col("m").alias("dst")))
+        ed.withColumn("m", F.min("dst").over(w))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("dst").alias("src"), F.col("m").alias("dst")),
+                    F.struct(F.col("src").alias("src"), F.col("m").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
     )
     return linked.where(F.col("src") != F.col("dst")).distinct()
 

@@ -194,7 +194,10 @@ def block_postings(
     sig_col: str = "simhash",
     keep_sig: bool = False,
 ) -> DataFrame:
-    """(id, band_idx, band_key): band_key = the band's bits of the signature.
+    """(id, band_key): band_key = the band's bits of the signature with the
+    band INDEX folded into the high bits (value | band_idx << w) — one flat
+    long key per posting instead of a two-column (band_idx, band_key) join
+    key; grouping semantics are identical since the fold is injective.
 
     Pure JVM bit ops: shiftrightunsigned + mask — no UDF. ``keep_sig``
     carries the full signature through (8 bytes/posting) so the band join
@@ -203,21 +206,15 @@ def block_postings(
     mask = (1 << w) - 1
     bands = F.array(
         *[
-            F.struct(
-                F.lit(bi).cast("int").alias("band_idx"),
-                F.shiftrightunsigned(F.col(sig_col), bi * w)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_key"),
-            )
+            F.shiftrightunsigned(F.col(sig_col), bi * w)
+            .bitwiseAND(F.lit(mask))
+            .bitwiseOR(F.lit(bi << w))
             for bi in range(cfg.bands)
         ]
     )
     extra = [F.col(sig_col).alias("sig")] if keep_sig else []
     return df.select(
-        F.col(id_col).alias("id"), *extra, F.explode(bands).alias("b")
-    ).select(
-        "id", *(["sig"] if keep_sig else []),
-        F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"),
+        F.col(id_col).alias("id"), *extra, F.explode(bands).alias("band_key")
     )
 
 
@@ -245,12 +242,12 @@ def simhash_pairs(
     base = spread_small_input(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")), key="id"
     )
-    # eager materialization: feeds both sides of the band self-join
-    signed = (
-        add_simhash(base, cfg, text_col="text")
-        .select("id", "simhash")
-        .localCheckpoint(eager=True)
-    )
+    signed = add_simhash(base, cfg, text_col="text").select("id", "simhash")
+    if cfg.multi_probe or (cfg.salt and cfg.salt > 1):
+        # multi-probe/salt consume `signed` twice (index + probe sides);
+        # materialize so the signing UDF runs once. The default grouped
+        # path is a single linear chain — no checkpoint needed.
+        signed = signed.localCheckpoint(eager=True)
     return simhash_verified_pairs(signed, cfg, id_col="id")
 
 
@@ -286,41 +283,72 @@ def simhash_verified_pairs(
         )
         cands = simhash_candidate_pairs(s, cfg, id_col="id")
         return hamming_verify(cands.pairs, s, cfg), cands.drops
+    # grouped single-pass form (r6, mirrors joins.band_candidate_pairs):
+    # ONE shuffle groups the index postings into per-bucket member lists —
+    # bucket size, the cap filter, and pair generation come from the same
+    # aggregation (formerly: a bucket-size aggregation + broadcast
+    # anti-joins + a two-sided key join). The Hamming filter still runs
+    # inside whole-stage codegen directly on the explode output, so no
+    # candidate set ever materializes.
     postings = block_postings(signed, cfg, id_col=id_col, sig_col=sig_col, keep_sig=True)
-    left = (
-        probe_block_postings(signed, cfg, id_col=id_col, sig_col=sig_col, keep_sig=True)
-        if cfg.multi_probe
-        else postings
+    grouped = postings.groupBy("band_key").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members"),
+        F.count("*").alias("bucket_size"),
     )
-    key_cols = ["band_idx", "band_key"]
     if cfg.max_bucket_size is not None:
-        sizes = postings.groupBy(*key_cols).agg(F.count("*").alias("bucket_size"))
-        drops = sizes.filter(F.col("bucket_size") > cfg.max_bucket_size)
-        postings = postings.join(
-            F.broadcast(drops.select(*key_cols)), on=key_cols, how="left_anti"
+        drops = grouped.where(F.col("bucket_size") > cfg.max_bucket_size).select(
+            "band_key", "bucket_size"
         )
-        left = (
-            left.join(F.broadcast(drops.select(*key_cols)), on=key_cols, how="left_anti")
-            if cfg.multi_probe
-            else postings
-        )
+        kept = grouped.where(F.col("bucket_size") <= cfg.max_bucket_size)
     else:
         drops = (
-            postings.select(*key_cols)
+            postings.select("band_key")
             .limit(0)
             .withColumn("bucket_size", F.lit(0).cast("long"))
         )
-    a = left.select(*key_cols, F.col("id").alias("id1"), F.col("sig").alias("sig1"))
-    b = postings.select(*key_cols, F.col("id").alias("id2"), F.col("sig").alias("sig2"))
-    verified = (
-        a.join(b, on=key_cols)
-        .where(F.col("id1") < F.col("id2"))
-        .withColumn("hamming_dist", hamming(F.col("sig1"), F.col("sig2")).cast("int"))
-        .where(F.col("hamming_dist") <= cfg.hamming_k)
-        .select("id1", "id2", "hamming_dist")
-        .distinct()
-    )
-    return verified, drops
+        kept = grouped
+    if cfg.multi_probe:
+        # a ≤1-bit flipped band matches in BOTH probe directions (XOR is
+        # symmetric), so least/greatest keeps exactly one instance
+        probe = probe_block_postings(
+            signed, cfg, id_col=id_col, sig_col=sig_col, keep_sig=True
+        )
+        hits = (
+            probe.join(kept.select("band_key", "members"), "band_key")
+            .select(
+                F.col("id").alias("_pid"),
+                F.col("sig").alias("_psig"),
+                F.explode("members").alias("m"),
+            )
+            .where(F.col("_pid") != F.col("m.id"))
+            .withColumn(
+                "hamming_dist", hamming(F.col("_psig"), F.col("m.sig")).cast("int")
+            )
+            .where(F.col("hamming_dist") <= cfg.hamming_k)
+            .select(
+                F.least("_pid", F.col("m.id")).alias("id1"),
+                F.greatest("_pid", F.col("m.id")).alias("id2"),
+                "hamming_dist",
+            )
+        )
+    else:
+        lhs = kept.select(F.posexplode("members").alias("i", "m1"), F.col("members"))
+        hits = (
+            lhs.select(
+                F.col("m1.id").alias("id1"),
+                F.col("m1.sig").alias("sig1"),
+                F.explode(
+                    F.slice("members", F.col("i") + 2, F.size("members"))
+                ).alias("m2"),
+            )
+            .where(F.col("id1") < F.col("m2.id"))
+            .withColumn(
+                "hamming_dist", hamming(F.col("sig1"), F.col("m2.sig")).cast("int")
+            )
+            .where(F.col("hamming_dist") <= cfg.hamming_k)
+            .select("id1", F.col("m2.id").alias("id2"), "hamming_dist")
+        )
+    return hits.distinct(), drops
 
 
 def probe_block_postings(
@@ -331,25 +359,18 @@ def probe_block_postings(
     keep_sig: bool = False,
 ) -> DataFrame:
     """Query-side postings for 1-bit multi-probe: every band value plus its
-    ``bits_per_band`` single-bit flips — pure JVM bit ops."""
+    ``bits_per_band`` single-bit flips — pure JVM bit ops; band_idx folds
+    into the key exactly as in ``block_postings``."""
     w = cfg.bits_per_band
     mask = (1 << w) - 1
     entries = []
     for bi in range(cfg.bands):
         block = F.shiftrightunsigned(F.col(sig_col), bi * w).bitwiseAND(F.lit(mask))
         variants = [block] + [block.bitwiseXOR(F.lit(1 << j)) for j in range(w)]
-        entries += [
-            F.struct(
-                F.lit(bi).cast("int").alias("band_idx"), v.alias("band_key")
-            )
-            for v in variants
-        ]
+        entries += [v.bitwiseOR(F.lit(bi << w)) for v in variants]
     extra = [F.col(sig_col).alias("sig")] if keep_sig else []
     return df.select(
-        F.col(id_col).alias("id"), *extra, F.explode(F.array(*entries)).alias("b")
-    ).select(
-        "id", *(["sig"] if keep_sig else []),
-        F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"),
+        F.col(id_col).alias("id"), *extra, F.explode(F.array(*entries)).alias("band_key")
     )
 
 
@@ -364,7 +385,7 @@ def simhash_candidate_pairs(
     )
     return band_candidate_pairs(
         postings,
-        key_cols=["band_idx", "band_key"],
+        key_cols=["band_key"],
         id_col="id",
         max_bucket_size=cfg.max_bucket_size,
         salt=cfg.salt,

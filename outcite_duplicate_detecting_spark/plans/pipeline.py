@@ -190,32 +190,39 @@ def dedup_pipeline(
             )
         )
 
-    collapsed, _ = stage("collapse", _collapse)
-
-    # --- membership: (doc_id, url, rep_id), one row per input row. The
-    # join key is the content digest — text never shuffles here. The
+    # --- membership: (doc_id, url, rep_id), one row per input row.
+    # rep_id is derived directly as min(doc_id) over the content digest (a
+    # window over text_sha) — the same definition collapse uses — instead
+    # of joining against the collapse output. That makes membership
+    # INDEPENDENT of the collapse stage, so its side thread overlaps
+    # collapse + sign from t=0 rather than only the post-collapse phase
+    # (guide §2.6 overlap-independent-jobs), and it drops the
+    # content-digest join outright. text never shuffles here. The
     # dropDuplicates enforces doc_id uniqueness for the final label join
     # (repeated (url, warc_ts) input rows or a 64-bit hash collision would
     # otherwise fan the join out and break one-label-per-input-row); it
     # rides on ~50-byte rows, not the corpus.
     def _membership() -> DataFrame:
+        from pyspark.sql import Window
+
         keyed = pages.select(doc_id, F.col("url"), text_sha)
+        w = Window.partitionBy("text_sha")
         return (
-            keyed.join(collapsed.select("text_sha", "rep_id"), "text_sha")
+            keyed.withColumn("rep_id", F.min("doc_id").over(w))
             .dropDuplicates(["doc_id"])
             .select("doc_id", "url", "rep_id")
         )
 
-    # membership depends only on collapse and is not consumed until expand —
-    # run it on a side thread so its join overlaps the sign/detector phase
-    # instead of serializing the critical path (Spark schedules jobs from
-    # multiple driver threads concurrently). The pool is shut down in the
-    # finally below: without it, a detector/CC failure would leave the
-    # concurrent membership job running through the unwind and mask the
-    # real exception.
+    # membership is not consumed until expand — run it on a side thread so
+    # it overlaps the collapse/sign/detector phase instead of serializing
+    # the critical path (Spark schedules jobs from multiple driver threads
+    # concurrently). The pool is shut down in the finally below: without
+    # it, a detector/CC failure would leave the concurrent membership job
+    # running through the unwind and mask the real exception.
     membership_pool = ThreadPoolExecutor(max_workers=1)
     membership_fut = membership_pool.submit(stage, "membership", _membership)
     try:
+        collapsed, _ = stage("collapse", _collapse)
         # detectors are UDF-bound, not byte-bound: spread them over the cores
         # rather than letting AQE coalesce the (small-on-disk) checkpoint files
         n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
@@ -359,15 +366,18 @@ def dedup_pipeline(
                 edge_frames.append(post(df))
 
         def _components() -> DataFrame:
+            # node set from `signed` (same rep rows as reps, by construction):
+            # the sign checkpoint serves the one thin column via pruning,
+            # where `reps` would re-read collapse text for the length filter
+            # and re-run its repartition shuffle just to list ids
+            node_ids = signed.select(F.col("rep_id").alias("id"))
             if not edge_frames:
-                return reps.select(
-                    F.col("rep_id").alias("id"), F.col("rep_id").alias("component")
-                )
+                return node_ids.select("id", F.col("id").alias("component"))
             edges = edge_frames[0]
             for e in edge_frames[1:]:
                 edges = edges.unionByName(e)
             return connected_components(
-                edges, src="id1", dst="id2", nodes=reps.select(F.col("rep_id").alias("id"))
+                edges, src="id1", dst="id2", nodes=node_ids
             )
 
         labels, _ = stage("components", _components)
