@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import spread_small_input
+
 
 def containment_pairs(
     df: DataFrame,
@@ -37,26 +39,67 @@ def containment_pairs(
     ``strict``: equal sets are reported once with sub_id < sup_id and
     proper subsets always as (smaller-set id, larger-set id); a row never
     pairs with itself.
+
+    Candidate generation is RAREST-FIRST (r6 — the reference's own
+    find_subsup ordering, find_components_disk.py:94-113, now load-bearing
+    instead of left to the optimizer): A ⊆ B implies A's rarest feature is
+    in B, so the sub side posts exactly ONE row per doc — its globally
+    rarest feature — against the full postings index. The former
+    share-any-feature self-join made every stop-word bucket quadratic
+    (a feature carried by k docs emitted k² join rows whether or not any
+    containment existed); the rarest probe emits Σ_doc df(rarest(doc))
+    rows, which Zipfian feature distributions keep near-linear.
+    Verification is exact: |fs(A) ∩ fs(B)| = |A| via array_intersect in
+    whole-stage codegen on the candidate pairs only, so candidate
+    generation affects cost, never the result. Empty feature sets emit no
+    postings and hence no pairs — identical to the former join's
+    behavior.
     """
-    sized = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.col(features_col)).alias("fs"),
-    ).withColumn("sz", F.size("fs"))
+    sized = (
+        spread_small_input(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(F.col(features_col)).alias("fs"),
+            ),
+            key="id",
+        )
+        .withColumn("sz", F.size("fs"))
+        # feeds the postings index, the rarest-probe derivation, and both
+        # verify sides — materialize once (arrays are words, ~KB/doc)
+        .localCheckpoint(eager=True)
+    )
     ex = sized.select("id", "sz", F.explode("fs").alias("feat"))
-    a = ex.select(F.col("feat"), F.col("id").alias("sub_id"), F.col("sz").alias("sub_sz"))
-    b = ex.select(F.col("feat"), F.col("id").alias("sup_id"), F.col("sz").alias("sup_sz"))
-    # size-stratified pruning predicate (reference task grid analogue)
-    joined = a.join(b, "feat").where(
+    freq = ex.groupBy("feat").agg(F.count("*").alias("df"))
+    rarest = (
+        ex.join(freq, "feat")
+        .groupBy("id")
+        .agg(
+            F.min("sz").alias("sub_sz"),  # sz is constant per id
+            F.min(F.struct("df", "feat")).alias("_r"),
+        )
+        .select(F.col("id").alias("sub_id"), "sub_sz", F.col("_r.feat").alias("feat"))
+    )
+    cands = rarest.join(
+        ex.select(
+            F.col("feat"), F.col("id").alias("sup_id"), F.col("sz").alias("sup_sz")
+        ),
+        "feat",
+    ).where(
+        # size-stratified pruning predicate (reference task grid analogue)
         (F.col("sub_id") != F.col("sup_id"))
         & (
             (F.col("sub_sz") < F.col("sup_sz"))
             | ((F.col("sub_sz") == F.col("sup_sz")) & (F.col("sub_id") < F.col("sup_id")))
         )
+    ).select("sub_id", "sup_id")
+    s1 = sized.select(F.col("id").alias("sub_id"), F.col("fs").alias("_fs1"), F.col("sz").alias("_sz1"))
+    s2 = sized.select(F.col("id").alias("sup_id"), F.col("fs").alias("_fs2"))
+    out = (
+        cands.join(s1, "sub_id")
+        .join(s2, "sup_id")
+        .where(F.size(F.array_intersect("_fs1", "_fs2")) == F.col("_sz1"))
+        .select("sub_id", "sup_id")
     )
-    counts = joined.groupBy("sub_id", "sup_id", "sub_sz").agg(
-        F.count("*").alias("shared")
-    )
-    out = counts.where(F.col("shared") == F.col("sub_sz")).select("sub_id", "sup_id")
     return out
 
 
