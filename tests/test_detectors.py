@@ -220,6 +220,53 @@ def test_substring_exact(spark, corpus):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_substring_minfp_recall_adversarial_ties(spark, seed):
+    """Property test of the min-fingerprint winnowing argument (r5 verdict
+    advisory #5) at its edges: random plants over a TWO-letter alphabet
+    (maximal k-gram hash ties/collisions), heavy periodic repeats (every
+    winnow window full of equal minima — the rightmost-tie-break path),
+    plants exactly at the guarantee threshold len == min_len, and shared
+    inner spans planted into multiple outers. The end-to-end output must
+    equal the brute-force containment oracle — which in particular means
+    candidate recall before verification was 1.0 (verification can only
+    drop pairs, never add)."""
+    rng = np.random.RandomState(seed)
+    cfg = SubstringConfig()  # min_len=50, k=25, w=26
+    docs = []
+    def rnd(n):
+        return "".join(rng.choice(list("ab"), size=n))
+    # periodic / tie-heavy inners, including exactly-threshold lengths
+    inners = [
+        "ab" * 25,                # len 50 == min_len, period 2
+        "a" * 50,                 # all-equal grams: every window ties
+        rnd(50),
+        rnd(73),
+        ("aba" * 20)[:55],        # period 3
+    ]
+    for i, t in enumerate(inners):
+        docs.append((i, t))
+    # outers embedding each inner at random offsets (some share inners)
+    nid = len(inners)
+    for i, t in enumerate(inners):
+        for _ in range(2):
+            pre, post = rnd(int(rng.randint(0, 60))), rnd(int(rng.randint(0, 60)))
+            docs.append((nid, pre + t + post))
+            nid += 1
+    # noise docs, some shorter than min_len
+    for _ in range(25):
+        docs.append((nid, rnd(int(rng.randint(10, 120)))))
+        nid += 1
+    import pandas as pd
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    want = brute_containment_pairs(pdf, min_len=cfg.min_len)
+    df = spark.createDataFrame(pdf)
+    verified, _drops = substring_pairs(df, cfg)
+    got = {(r["inner_id"], r["outer_id"]) for r in verified.collect()}
+    assert got == want
+
+
 def test_salted_all_pairs_equals_naive(spark):
     rng = np.random.RandomState(3)
     rows = [(int(i), int(k)) for i, k in enumerate(rng.randint(0, 5, size=300))]
