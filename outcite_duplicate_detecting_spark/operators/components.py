@@ -47,13 +47,14 @@ def _id_col(df: DataFrame, name: str, alias: str):
 
 
 def _normalize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    # NO distinct (r6): duplicate input edges are harmless — the star
+    # operators are multiplicity-insensitive (window minima) and round 0's
+    # small-star distinct dedups before the first digest — so deduping
+    # here was a full-edge-set exchange spent only to shrink round 0's
+    # input by the (typically tiny) duplicate factor.
     e = edges.select(_id_col(edges, src, "src"), _id_col(edges, dst, "dst"))
-    return (
-        e.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
-        .distinct()
+    return e.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     )
 
 

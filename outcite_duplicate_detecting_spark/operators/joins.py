@@ -40,6 +40,7 @@ def band_candidate_pairs(
     max_bucket_size: int | None = None,
     salt: int | None = None,
     probe_left: DataFrame | None = None,
+    probe_unique: bool = False,
 ) -> PairGenResult:
     """All distinct ordered id pairs co-occurring under any key.
 
@@ -51,6 +52,14 @@ def band_candidate_pairs(
     multi-probe pattern (e.g. 1-bit simhash band flips). Bucket sizes and
     the cap are always measured on the ORIGINAL postings; dropped keys are
     excluded from both sides. Mutually exclusive with ``salt``.
+
+    ``probe_unique``: set when ``probe_left`` posts at most ONE row per
+    id (e.g. the substring detector's global-min fingerprint probe) — a
+    pair is then generated at most once per probe orientation (≤2 total,
+    exactly when each side carries the other's min in its posting set),
+    so the trailing distinct exchange is skipped and deduplication is
+    deferred to the caller's verification (which already ends in a
+    distinct). Only valid for callers whose downstream dedups.
     """
     assert probe_left is None or not (salt and salt > 1), "probe+salt unsupported"
     keyed = postings.select(id_col, *key_cols)
@@ -116,6 +125,8 @@ def band_candidate_pairs(
                 F.greatest("_pid", "_mid").alias("id2"),
             )
         )
+        if probe_unique:
+            return PairGenResult(pairs.select("id1", "id2"), drops)
     else:
         # two-step pair expansion (posexplode + tail-slice explode): row
         # memory stays O(bucket), never O(bucket²); sort_array orders

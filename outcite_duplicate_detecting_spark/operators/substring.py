@@ -143,6 +143,7 @@ def substring_pairs(
     cands = band_candidate_pairs(
         fps, key_cols=["fp"], id_col="id",
         max_bucket_size=cfg.max_fingerprint_df, probe_left=minfp,
+        probe_unique=True,  # one min-fp posting per doc; verify dedups
     )
     return containment_verify(cands.pairs, base, cfg.min_len), cands.drops
 

@@ -321,6 +321,7 @@ def dedup_pipeline(
                 id_col="id",
                 max_bucket_size=cfg.substring.max_fingerprint_df,
                 probe_left=minfp,
+                probe_unique=True,  # one min-fp posting per doc; verify dedups
             )
             # verify base reads straight off `collapsed` (the checkpoint /
             # materialized block), NOT `reps`: reps' repartition is a full
