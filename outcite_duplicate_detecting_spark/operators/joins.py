@@ -2,12 +2,16 @@
 
 The LSH band equi-join (SURVEY.md §2.3; reference analogue: the lexsort
 adjacency scan in /root/reference/code/blocking/code/
-simhash_components_disk_v3.py:258-275) is a self-join of a postings
-DataFrame ``(id, key...)`` on ``key``. Hot keys (a band shared by an
-exact-dup cluster, a ubiquitous fingerprint) make the naive self-join
-quadratic in the bucket size, so two explicit controls are provided —
-the reference's analogue is its hard 25000-doc group guard
-(/root/reference/code/common.py:96):
+simhash_components_disk_v3.py:258-275) groups a postings DataFrame
+``(id, key...)`` into per-key member lists in ONE shuffle — bucket
+size, the cap filter, and pair generation (posexplode + tail-slice
+explode, row memory O(bucket)) all derive from that single aggregation
+(r6; formerly a bucket-size aggregation + broadcast anti-join + a
+two-sided self-join that shuffled the postings twice). Hot keys (a band
+shared by an exact-dup cluster, a ubiquitous fingerprint) still make
+all-pairs generation quadratic in the bucket size, so two explicit
+controls are provided — the reference's analogue is its hard 25000-doc
+group guard (/root/reference/code/common.py:96):
 
 - ``max_bucket_size``: buckets above the cap are excluded from pair
   generation and *accounted for* in a drops DataFrame (north_rule:

@@ -108,12 +108,14 @@ class PipelineConfig:
     # the default; set id_bits=128 for 10^11+ deployments where the
     # birthday bound bites.
     id_bits: int = 64
-    # 128-bit id representation: "struct" (struct<h1,h2> — the r4 path,
-    # measured +43% end-to-end: struct keys lose radix-sort/codegen fast
-    # paths) or "binary" (16-byte key via hex/unhex packing — one flat
-    # comparable value, candidate for recovering the sort fast paths;
-    # r5 A/B via tools/probe_modes.py id128 vs id128b legs)
-    id_pack: str = "struct"
+    # 128-bit id representation: "binary" (default — 16-byte key via
+    # hex/unhex packing, one flat comparable value) or "struct"
+    # (struct<h1,h2> — the r4 path). The r6 interleaved A/B at 400k docs
+    # / 8 cores (tools/probe_modes.py, min of 2 per mode) measured:
+    # longs 137.4 s, struct 158.1 s (+15%), binary 134.4 s (parity,
+    # within window noise) — the flat key recovers the radix-sort/codegen
+    # fast paths struct loses, so 128-bit deployments pay ~nothing.
+    id_pack: str = "binary"
 
     def fingerprint(self) -> str:
         return hashlib.sha1(
