@@ -197,6 +197,7 @@ def connected_components(
     timing = bool(os.environ.get("SPARK_GRAFT_STAGE_TIMING"))
     e = _normalize(edges, src, dst).localCheckpoint(eager=False)
     prev: tuple[int, int, int] | None = None
+    star_exit = False
     for _round in range(max_iter):
         t0 = time.time()
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
@@ -208,7 +209,10 @@ def connected_components(
                 flush=True,
             )
         e = e2
-        if (non_star == 0 and max_out <= 1) or (n, h1, h2) == prev:
+        if non_star == 0 and max_out <= 1:
+            star_exit = True
+            break
+        if (n, h1, h2) == prev:
             break
         prev = (n, h1, h2)
         # late rounds are shuffle-LATENCY-bound, not data-bound: once the
@@ -222,6 +226,24 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
+    if star_exit:
+        # e is a PROVEN star forest (non_star == 0 and max_out <= 1):
+        # every member appears exactly once as src with its center as
+        # dst, and centers/isolated nodes appear only as dst/never — so
+        # the labels are the edges themselves, no symmetric re-expansion
+        # + per-node min aggregation needed (two fewer exchanges in the
+        # final job). Only used on the proven exit; the digest-equality
+        # fallback keeps the generic reduction.
+        members = e.select(F.col("src").alias(id_col), F.col("dst").alias("component"))
+        if nodes is not None:
+            all_nodes = nodes.select(_id_col(nodes, id_col, id_col)).distinct()
+            return all_nodes.join(members, id_col, "left").select(
+                id_col, F.coalesce("component", F.col(id_col)).alias("component")
+            )
+        centers = e.select(
+            F.col("dst").alias(id_col), F.col("dst").alias("component")
+        ).distinct()
+        return members.unionByName(centers)
     labels = (
         _symmetric(e)
         .groupBy("src")

@@ -143,13 +143,25 @@ def jaccard_pairs_with_drops(
     ex = sh.select(
         "id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
     )
-    buckets = ex.groupBy("shingle").agg(
+    # the pairs branch groups on xxhash64(shingle) — 8 bytes through the
+    # shuffle and the aggregation hash table instead of the ~25-byte
+    # shingle string (§2.3 narrower types). A 64-bit collision merging two
+    # distinct shingles could overstate one pair's intersection by 1
+    # (P ≈ pairs·2⁻⁶⁴ — the same accepted risk class as MinHash's
+    # hashed-shingle verification, which is oracled against the string
+    # semantics and matches). The drops branch below accounts hot buckets
+    # on the REAL strings, lazily — it only computes when a caller
+    # consumes the drops side.
+    exh = ex.select("id", "sz", F.xxhash64("shingle").alias("h"))
+    buckets = exh.groupBy("h").agg(
         F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("members"),
         F.count("*").alias("bucket_size"),
     )
     if max_bucket_size is not None:
-        drops = buckets.where(F.col("bucket_size") > max_bucket_size).select(
-            "shingle", "bucket_size"
+        drops = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") > max_bucket_size)
         )
         kept = buckets.where(F.col("bucket_size") <= max_bucket_size)
     else:
